@@ -1,0 +1,199 @@
+"""FEC layer unit tests: conv code, puncturing, PRBS, CRC, Viterbi."""
+
+import numpy as np
+import pytest
+
+from dabjax.fec import conv, crc, prbs, puncture, viterbi
+
+
+def _ref_parity(x):
+    return bin(x).count("1") & 1
+
+
+def test_conv_encode_matches_bitwise_reference():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 50, dtype=np.uint8)
+    # independent bit-serial encoder
+    sr = 0
+    want = []
+    for i in range(50 + 6):
+        b = int(bits[i]) if i < 50 else 0
+        sr = ((sr << 1) | b) & 0x7F
+        for p in conv.POLYS:
+            want.append(_ref_parity(sr & p))
+    got = conv.encode(bits)
+    np.testing.assert_array_equal(got, np.array(want, np.uint8))
+
+
+def test_conv_encode_tail_returns_to_zero_state():
+    bits = np.ones(20, np.uint8)
+    coded = conv.encode(bits)
+    assert coded.shape == (4 * 26,)
+    # last 4 coded bits correspond to register value with 6 zeros + ... = 0/1
+    # at minimum the encoder consumed 6 tail zeros:
+    assert coded.shape[-1] == 4 * (20 + 6)
+
+
+def test_pcodes_counts_and_known_rows():
+    for pi in range(1, 25):
+        assert puncture.p_codes(pi).sum() == 8 + pi
+    # spot checks against EN 300 401 (and protTables.cpp rows 1, 8, 16, 24)
+    np.testing.assert_array_equal(
+        puncture.p_codes(1),
+        np.array([1, 1, 0, 0] + [1, 0, 0, 0] * 7, np.uint8))
+    np.testing.assert_array_equal(
+        puncture.p_codes(8), np.tile([1, 1, 0, 0], 8).astype(np.uint8))
+    np.testing.assert_array_equal(
+        puncture.p_codes(16), np.tile([1, 1, 1, 0], 8).astype(np.uint8))
+    np.testing.assert_array_equal(puncture.p_codes(24), np.ones(32, np.uint8))
+    # row 13 from protTables.cpp:42
+    np.testing.assert_array_equal(
+        puncture.p_codes(13),
+        np.array([1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 0, 0,
+                  1, 1, 1, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1, 1, 0, 0], np.uint8))
+
+
+def test_uep_profiles_consistent_with_subchannel_sizes():
+    # ETSI EN 300 401 table 7 (ProtLevel[64][3] in fib-processor.cpp:32-95):
+    # (subch size CUs, protection level, bitrate)
+    sizes = {
+        (32, 5): 16, (32, 4): 21, (32, 3): 24, (32, 2): 29, (32, 1): 35,
+        (48, 5): 24, (48, 4): 29, (48, 3): 35, (48, 2): 42, (48, 1): 52,
+        (64, 5): 32, (64, 4): 42, (64, 3): 48, (64, 2): 58, (64, 1): 70,
+        (80, 5): 40, (80, 4): 52, (80, 3): 58, (80, 2): 70, (80, 1): 84,
+        (96, 5): 48, (96, 4): 58, (96, 3): 70, (96, 2): 84, (96, 1): 104,
+        (112, 5): 58, (112, 4): 70, (112, 3): 84, (112, 2): 104,
+        (128, 5): 64, (128, 4): 84, (128, 3): 96, (128, 2): 116, (128, 1): 140,
+        (160, 5): 80, (160, 4): 104, (160, 3): 116, (160, 2): 140, (160, 1): 168,
+        (192, 5): 96, (192, 4): 116, (192, 3): 140, (192, 2): 168, (192, 1): 208,
+        (224, 5): 116, (224, 4): 140, (224, 3): 168, (224, 2): 208, (224, 1): 232,
+        (256, 5): 128, (256, 4): 168, (256, 3): 192, (256, 2): 232, (256, 1): 280,
+        (320, 5): 160, (320, 4): 208, (320, 2): 280,
+        (384, 5): 192, (384, 3): 280, (384, 1): 416,
+    }
+    for (bitrate, lvl), cus in sizes.items():
+        lengths, pis = puncture.uep_profile(bitrate, lvl)
+        assert sum(lengths) * 128 + 24 == 4 * (24 * bitrate + 6)
+        # UEP logical frames may end in padding bits the receiver ignores
+        # (EN 300 401 table 31 "padding" column; 0/4/8 across profiles).
+        pad = cus * 64 - puncture.punctured_length(lengths, pis)
+        assert pad in (0, 4, 8), (bitrate, lvl, pad)
+
+
+@pytest.mark.parametrize("bitrate,lvl,profile,cus", [
+    # EEP-A: CUs = per EN 300 401 table 8 (subChannelSize = f(protLevel) * n)
+    (64, 1, "A", 96), (64, 2, "A", 64), (64, 3, "A", 48), (64, 4, "A", 32),
+    (96, 3, "A", 72), (128, 2, "A", 128),
+    # EEP-B: bitrate multiple of 32
+    (96, 1, "B", 27 * 3), (96, 4, "B", 15 * 3), (160, 2, "B", 21 * 5),
+])
+def test_eep_profiles_total_and_cus(bitrate, lvl, profile, cus):
+    lengths, pis = puncture.eep_profile(bitrate, lvl, profile)
+    assert sum(lengths) * 128 + 24 == 4 * (24 * bitrate + 6)
+    assert puncture.punctured_length(lengths, pis) == cus * 64
+
+
+def test_fic_depuncture_geometry():
+    # FIC: 21 blocks PI_16, 3 blocks PI_15, PI_X tail -> 2304 kept of 3096
+    lengths, pis = [21, 3], [16, 15]
+    mask = puncture.puncture_mask(lengths, pis)
+    assert mask.shape[0] == 3096
+    assert mask.sum() == 2304
+
+
+def test_puncture_roundtrip():
+    rng = np.random.default_rng(1)
+    lengths, pis = puncture.eep_profile(64, 3, "A")
+    mask = puncture.puncture_mask(lengths, pis)
+    full = rng.normal(size=mask.shape[0]).astype(np.float32)
+    tx = puncture.puncture(full, mask)
+    rx = puncture.depuncture(tx, mask)
+    np.testing.assert_array_equal(rx[mask], full[mask])
+    np.testing.assert_array_equal(rx[~mask], 0)
+
+
+def test_prbs_first_bits_and_selfinverse():
+    # shift register x^9+x^5+1 seeded with ones: first output bits
+    seq = prbs.prbs(16)
+    # hand-computed: all-ones register -> first 8 outputs 0 (r8^r4=0) until
+    # zeros shift in.  Verify against a direct bit-serial model:
+    reg = [1] * 9
+    want = []
+    for _ in range(16):
+        b = reg[8] ^ reg[4]
+        want.append(b)
+        reg = [b] + reg[:-1]
+    np.testing.assert_array_equal(seq, np.array(want, np.uint8))
+    bits = np.random.default_rng(2).integers(0, 2, 100, dtype=np.uint8)
+    assert np.array_equal(prbs.disperse(prbs.disperse(bits)), bits)
+
+
+def test_crc16_bits_vs_bytes():
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 2, 240, dtype=np.uint8)
+    fib = crc.crc16_append_bits(payload, inverted=True)
+    assert fib.shape == (256,)
+    assert crc.check_crc16_bits(fib, inverted=True)
+    bad = fib.copy()
+    bad[5] ^= 1
+    assert not crc.check_crc16_bits(bad, inverted=True)
+    # byte-wise check agrees: CRC(payload bytes) == ~stored
+    payload_bytes = np.packbits(payload)
+    stored = int(''.join(map(str, fib[240:])), 2)
+    assert crc.crc16_ccitt(payload_bytes) == (~stored) & 0xFFFF
+
+
+def test_crc16_known_value():
+    # CRC-CCITT (0xFFFF) of ASCII "123456789" is 0x29B1
+    data = np.frombuffer(b"123456789", dtype=np.uint8)
+    assert crc.crc16_ccitt(data) == 0x29B1
+
+
+def test_firecode_roundtrip():
+    rng = np.random.default_rng(4)
+    payload = rng.integers(0, 256, 9, dtype=np.uint8)
+    p = crc.firecode_parity(payload)
+    hdr = np.concatenate([[p >> 8, p & 0xFF], payload]).astype(np.uint8)
+    assert crc.firecode_check(hdr)
+    hdr2 = hdr.copy()
+    hdr2[6] ^= 0x10
+    assert not crc.firecode_check(hdr2)
+
+
+def test_viterbi_np_roundtrip_clean():
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, 768, dtype=np.uint8)
+    coded = conv.encode(bits)
+    soft = (coded.astype(np.float32) * 2 - 1) * 127  # bit1 -> +127
+    dec = viterbi.viterbi_decode_np(soft, 768)
+    np.testing.assert_array_equal(dec, bits)
+
+
+def test_viterbi_np_with_noise_and_puncturing():
+    rng = np.random.default_rng(6)
+    bits = rng.integers(0, 2, 128, dtype=np.uint8)
+    coded = conv.encode(bits)
+    lengths, pis = [21 * 128 // 3096 or 1], [16]  # dummy; use FIC mask below
+    mask = puncture.puncture_mask([3, 1], [16, 15])[: coded.shape[0]]
+    # build a length-matching mask: just use ones with some zeros
+    mask = np.ones(coded.shape[0], bool)
+    mask[::5] = False  # puncture 20%
+    soft_full = (coded.astype(np.float32) * 2 - 1) * 127
+    soft_full += rng.normal(0, 40, soft_full.shape)
+    soft_full[~mask] = 0.0
+    dec = viterbi.viterbi_decode_np(soft_full, 128)
+    np.testing.assert_array_equal(dec, bits)
+
+
+def test_viterbi_jax_matches_np_batched():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    B, nbits = 6, 96
+    bits = rng.integers(0, 2, (B, nbits), dtype=np.uint8)
+    coded = conv.encode(bits)
+    soft = (coded.astype(np.float32) * 2 - 1) * 127
+    soft += rng.normal(0, 30, soft.shape).astype(np.float32)
+    dec_np = viterbi.viterbi_decode_np(soft, nbits)
+    dec_jx = np.asarray(viterbi.viterbi_decode_jax(jnp.asarray(soft), nbits))
+    np.testing.assert_array_equal(dec_np, dec_jx)
+    np.testing.assert_array_equal(dec_np, bits)
