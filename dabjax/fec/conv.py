@@ -41,19 +41,20 @@ def encode(bits: np.ndarray) -> np.ndarray:
     """
     bits = np.asarray(bits, dtype=np.uint8)
     n = bits.shape[-1]
-    padded = np.concatenate(
-        [bits, np.zeros(bits.shape[:-1] + (K - 1,), np.uint8)], axis=-1)
-    # Register value at step t: bits t-6..t with newest in LSB.
-    # Build via sliding window of 7 bits.
-    win = np.zeros(bits.shape[:-1] + (n + K - 1,), np.uint32)
-    reg = np.zeros(bits.shape[:-1], np.uint32)
-    out = np.empty(bits.shape[:-1] + (n + K - 1, RATE), np.uint8)
-    for t in range(n + K - 1):
-        reg = ((reg << 1) | padded[..., t]) & 0x7F
-        win[..., t] = reg
+    T = n + K - 1
+    # Register value at step t holds bits t-6..t, newest in the LSB: a
+    # sliding 7-bit window over [6 leading zeros | bits | 6 tail zeros].
+    ext = np.concatenate([
+        np.zeros(bits.shape[:-1] + (K - 1,), np.uint8),
+        bits,
+        np.zeros(bits.shape[:-1] + (K - 1,), np.uint8)], axis=-1)
+    sw = np.lib.stride_tricks.sliding_window_view(ext, K, axis=-1)[..., :T, :]
+    weights = (1 << np.arange(K - 1, -1, -1)).astype(np.uint32)
+    win = (sw.astype(np.uint32) * weights).sum(axis=-1)      # (..., T)
+    out = np.empty(bits.shape[:-1] + (T, RATE), np.uint8)
     for k, poly in enumerate(POLYS):
         out[..., k] = _parity(win & poly)
-    return out.reshape(bits.shape[:-1] + ((n + K - 1) * RATE,))
+    return out.reshape(bits.shape[:-1] + (T * RATE,))
 
 
 def expected_bits_table() -> np.ndarray:
