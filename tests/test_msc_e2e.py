@@ -1,0 +1,70 @@
+"""MSC end-to-end: modulated ensemble -> all-subchannel logical frames.
+
+BASELINE.json configs 2 and 4 shapes (single-service full MSC decode and
+all-services batched decode) on golden IQ, bit-exact against the
+modulator's payload bits.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dabjax.constants import get_mode
+from dabjax.msc.cif import cifs_from_soft
+from dabjax.msc.deinterleave import HISTORY
+from dabjax.msc.subchannel import EnsembleDecoder, SubchGeometry
+from dabjax.ofdm import acquisition, demod
+from dabjax.tx.fig import ServiceSpec
+from dabjax.tx.modulator import Modulator
+
+SERVICES = [
+    ServiceSpec(label="ALPHA", sid=0x5001, subch_id=3, start_addr=0,
+                bitrate=128, protection="EEP-A", prot_level=3, kind="DAB+"),
+    ServiceSpec(label="BRAVO", sid=0x5002, subch_id=7, start_addr=100,
+                bitrate=96, protection="UEP", prot_level=3, kind="DAB"),
+    ServiceSpec(label="CHARLIE", sid=0x5003, subch_id=9, start_addr=200,
+                bitrate=64, protection="EEP-B", prot_level=2, kind="DAB+"),
+]
+
+
+@pytest.fixture(scope="module")
+def decoded():
+    p = get_mode(1)
+    # need >15 CIFs of history + a few decodable logical frames:
+    # 4 CIFs/frame -> 6 frames = 24 CIFs -> 9 decoded logical frames
+    n_frames = 6
+    mod = Modulator(mode=1, services=SERVICES)
+    iq = mod.iq(n_frames, snr_db=25.0, sample_offset=333, seed=9)
+    u0 = acquisition.acquire(iq, p)
+    assert u0 is not None
+    need = demod.min_frame_samples(p)
+    rows = np.stack([iq[u0 + f * p.T_F: u0 + f * p.T_F + need]
+                     for f in range(n_frames)])
+    soft, _ = demod.demodulate_frames(jnp.asarray(rows), p)
+    cifs = cifs_from_soft(soft, p)
+    geoms = [SubchGeometry(s.subch_id, s.start_addr, s.length_cus,
+                           s.bitrate, s.protection, s.prot_level)
+             for s in SERVICES]
+    dec = EnsembleDecoder(geoms, p)
+    return mod, dec.decode(cifs)
+
+
+def test_all_subchannels_bit_exact(decoded):
+    mod, out = decoded
+    assert set(out) == {3, 7, 9}
+    for s in SERVICES:
+        bits = out[s.subch_id]
+        n_lf = bits.shape[0]
+        assert n_lf >= 5
+        for t in range(n_lf):
+            # decoded CIF index (t + 15) carries payload logical frame t
+            want = mod.payload_bits(s.subch_id, t)
+            np.testing.assert_array_equal(
+                bits[t], want, err_msg=f"subch {s.subch_id} frame {t}")
+
+
+def test_single_service_matches_reference_semantics(decoded):
+    """UEP service with padding bits decodes exactly (padding ignored)."""
+    mod, out = decoded
+    bravo = out[7]
+    assert bravo.shape[1] == 24 * 96
