@@ -1,0 +1,447 @@
+"""MPEG-1/2 Audio Layer II codec for classic DAB (ISO/IEC 11172-3).
+
+Decode side covers the reference's embedded kjmp2 fixed-point decoder
+(``mp2processor.cpp:38-634``) re-designed as a float/matmul pipeline: bit
+parsing on the host, dequantization vectorized, and the polyphase synthesis
+filterbank expressed as a [64,32] matrixing matmul + windowed reduction —
+the exact shape that maps onto the TPU MXU when batched across frames.
+
+A minimal encoder (fixed allocation) is included for closed-loop golden
+fixtures — the reference has no encoder at all (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from dabjax.audio._mp2_tables import D_FIXED
+
+__all__ = ["Mp2Decoder", "Mp2Encoder", "decode_frame", "frame_size_bytes"]
+
+STEREO, JOINT_STEREO, DUAL_CHANNEL, MONO = 0, 1, 2, 3
+
+SAMPLE_RATES = [44100, 48000, 32000, 0, 22050, 24000, 16000, 0]
+BITRATES = [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+            8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+
+# Quantizer classes (ISO 11172-3 Table 3-B.4): (nlevels, grouping, codebits)
+QUANT = [(3, 1, 5), (5, 1, 7), (7, 0, 3), (9, 1, 10), (15, 0, 4),
+         (31, 0, 5), (63, 0, 6), (127, 0, 7), (255, 0, 8), (511, 0, 9),
+         (1023, 0, 10), (2047, 0, 11), (4095, 0, 12), (8191, 0, 13),
+         (16383, 0, 14), (32767, 0, 15), (65535, 0, 16)]
+
+# Allocation-table machinery (ISO Tables 3-B.2a..d / 13818-3 B.1), in the
+# compact row form also used by kjmp2 (mp2processor.cpp:139-194).
+QUANT_TAB_A = 27 | 64
+QUANT_TAB_B = 30 | 64
+QUANT_TAB_C = 8
+QUANT_TAB_D = 12
+_STEP1 = [[0, 0, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+          [0, 0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 2, 2]]
+_STEP2 = [[QUANT_TAB_C, QUANT_TAB_C, QUANT_TAB_D],
+          [QUANT_TAB_A, QUANT_TAB_A, QUANT_TAB_A],
+          [QUANT_TAB_B, QUANT_TAB_A, QUANT_TAB_B]]
+_STEP3 = [
+    [0x44] * 2 + [0x34] * 11,                                   # low rate
+    [0x43] * 3 + [0x42] * 8 + [0x31] * 12 + [0x20] * 7,         # high rate
+    [0x45] * 4 + [0x34] * 7 + [0x24] * 19,                      # MPEG-2 LSF
+]
+_STEP4 = [
+    [0, 1, 2, 17],
+    [0, 1, 2, 3, 4, 5, 6, 17],
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 17],
+    [0, 1, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17],
+    [0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 17],
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+]
+
+#: ISO synthesis window (Table 3-B.3), float.
+D = np.array(D_FIXED, np.float64) / 65536.0
+#: Analysis window (Table 3-C.1) = D / 32.
+C = D / 32.0
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesis_matrix() -> np.ndarray:
+    i = np.arange(64)[:, None]
+    k = np.arange(32)[None, :]
+    return np.cos((16 + i) * (2 * k + 1) * np.pi / 64)
+
+
+@functools.lru_cache(maxsize=None)
+def _analysis_matrix() -> np.ndarray:
+    i = np.arange(32)[:, None]
+    j = np.arange(64)[None, :]
+    return np.cos((2 * i + 1) * (j - 16) * np.pi / 64)
+
+
+def _scale_value(sf: int) -> float:
+    return 0.0 if sf == 63 else 2.0 ** (1.0 - sf / 3.0)
+
+
+class _BitReader:
+    def __init__(self, data: np.ndarray, bitpos: int = 0):
+        self.bits = np.unpackbits(np.asarray(data, np.uint8))
+        self.pos = bitpos
+
+    def u(self, n: int) -> int:
+        v = 0
+        for b in self.bits[self.pos: self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+def frame_size_bytes(bitrate_kbps: int, sample_rate: int,
+                     padding: int = 0) -> int:
+    return 144000 * bitrate_kbps // sample_rate + padding
+
+
+@dataclasses.dataclass
+class FrameInfo:
+    mpeg2: bool
+    bitrate: int
+    sample_rate: int
+    mode: int
+    frame_size: int
+
+
+def parse_header(frame: np.ndarray) -> Optional[FrameInfo]:
+    if frame[0] != 0xFF or (frame[1] & 0xF6) != 0xF4:
+        return None
+    if not (0x10 <= frame[2] < 0xF0):
+        return None
+    mpeg2 = (int(frame[1]) & 0x08) == 0
+    bri = (int(frame[2]) >> 4) - 1
+    sfi = (int(frame[2]) >> 2) & 3
+    if sfi == 3 or bri < 0:
+        return None
+    bitrate = BITRATES[bri + (14 if mpeg2 else 0)]
+    rate = SAMPLE_RATES[sfi + (4 if mpeg2 else 0)]
+    padding = (int(frame[2]) >> 1) & 1
+    mode = (int(frame[3]) >> 6) & 3
+    return FrameInfo(mpeg2, bitrate, rate, mode,
+                     frame_size_bytes(bitrate, rate, padding))
+
+
+class _SynthesisState:
+    """1024-sample rolling V buffer per channel (ISO 11172-3 §2.4.3.3)."""
+
+    def __init__(self):
+        self.V = np.zeros((2, 1024), np.float64)
+        self.off = 64
+
+    def run(self, s: np.ndarray) -> np.ndarray:
+        """``s``: [2, 32] subband samples -> [32, 2] PCM float (-1..1)."""
+        self.off = (self.off - 64) & 1023
+        n = _synthesis_matrix()
+        out = np.empty((32, 2))
+        for ch in range(2):
+            self.V[ch, self.off: self.off + 64] = n @ s[ch]
+            # build U from V with the standard shifting
+            u = np.empty(512)
+            for i in range(8):
+                base = (self.off + (i << 7)) & 1023
+                u[(i << 6):(i << 6) + 32] = self.V[ch][(base + np.arange(32))
+                                                       & 1023]
+                u[(i << 6) + 32:(i << 6) + 64] = \
+                    self.V[ch][(base + 96 + np.arange(32)) & 1023]
+            w = u * D
+            out[:, ch] = -w.reshape(16, 32).sum(axis=0)
+        return out
+
+
+def decode_frame(frame: np.ndarray, state: Optional[_SynthesisState] = None
+                 ) -> Tuple[Optional[np.ndarray], Optional[FrameInfo]]:
+    """Decode one Layer II frame -> (pcm int16 [1152?, 2], info).
+
+    Layer II frames carry 36 samples x 32 subbands = 1152 PCM frames
+    (MPEG-1) — DAB uses 48 kHz MPEG-1 or 24 kHz MPEG-2 LSF, both 1152.
+    """
+    info = parse_header(frame)
+    if info is None:
+        return None, None
+    r = _BitReader(frame)
+    r.pos = 16  # past syncword/version/layer/protection
+    protection = frame[1] & 1
+    r.u(4)  # bitrate index
+    r.u(2)  # sampling freq
+    r.u(1)  # padding
+    r.u(1)  # private
+    mode = r.u(2)
+    r.u(2)  # mode extension (bound) -- re-read below if joint stereo
+    bound = 32
+    if mode == JOINT_STEREO:
+        r.pos -= 2
+        bound = (r.u(2) + 1) << 2
+    elif mode == MONO:
+        bound = 0
+    r.u(4)  # copyright/original/emphasis
+    if protection == 0:
+        r.u(16)
+
+    if info.mpeg2:
+        table_idx, sblimit = 2, 30
+    else:
+        cls = _STEP1[0 if mode == MONO else 1][BITRATES.index(info.bitrate)]
+        sfi = SAMPLE_RATES.index(info.sample_rate)
+        t = _STEP2[cls][sfi]
+        sblimit = t & 63
+        table_idx = t >> 6
+    bound = min(bound, sblimit)
+    nch = 1 if mode == MONO else 2
+
+    def read_alloc(sb: int):
+        row = _STEP3[table_idx][sb]
+        q = _STEP4[row & 15][r.u(row >> 4)]
+        return QUANT[q - 1] if q else None
+
+    alloc = [[None] * 32, [None] * 32]
+    for sb in range(bound):
+        for ch in range(2):
+            alloc[ch][sb] = read_alloc(sb)
+    for sb in range(bound, sblimit):
+        alloc[0][sb] = alloc[1][sb] = read_alloc(sb)
+
+    scfsi = np.zeros((2, 32), np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scfsi[ch][sb] = r.u(2)
+        if mode == MONO:
+            scfsi[1][sb] = scfsi[0][sb]
+
+    sf = np.zeros((2, 32, 3), np.int64)
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                s = scfsi[ch][sb]
+                if s == 0:
+                    sf[ch, sb] = [r.u(6), r.u(6), r.u(6)]
+                elif s == 1:
+                    a, b = r.u(6), r.u(6)
+                    sf[ch, sb] = [a, a, b]
+                elif s == 2:
+                    a = r.u(6)
+                    sf[ch, sb] = [a, a, a]
+                else:
+                    a, b = r.u(6), r.u(6)
+                    sf[ch, sb] = [a, b, b]
+        if mode == MONO:
+            sf[1, sb] = sf[0, sb]
+
+    def read_samples(q, sfv: int) -> np.ndarray:
+        if q is None:
+            return np.zeros(3)
+        nlevels, grouping, bits = q
+        if grouping:
+            val = r.u(bits)
+            v = np.array([val % nlevels, (val // nlevels) % nlevels,
+                          val // (nlevels * nlevels)], np.float64)
+        else:
+            v = np.array([r.u(bits) for _ in range(3)], np.float64)
+        adj = ((nlevels + 1) >> 1) - 1
+        frac = (adj - v) / ((nlevels + 1) / 2.0)
+        return frac * _scale_value(sfv)
+
+    state = state or _SynthesisState()
+    pcm = np.empty((36 * 32, 2), np.float64)
+    pos = 0
+    for part in range(3):
+        for gr in range(4):
+            s = np.zeros((2, 32, 3))
+            for sb in range(bound):
+                for ch in range(2):
+                    s[ch, sb] = read_samples(alloc[ch][sb], sf[ch, sb, part])
+            for sb in range(bound, sblimit):
+                v = read_samples(alloc[0][sb], sf[0, sb, part])
+                s[0, sb] = v
+                s[1, sb] = v
+            for idx in range(3):
+                pcm[pos:pos + 32] = state.run(s[:, :, idx])
+                pos += 32
+    out = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+    return out, info
+
+
+class Mp2Decoder:
+    """Stateful DAB MP2 elementary-stream decoder (one subchannel).
+
+    Feed decoded logical-frame bits/bytes; performs the bit-level frame sync
+    of the reference (mp2processor.cpp:572-617) and yields PCM.
+    """
+
+    def __init__(self):
+        self._buf = b""
+        self._state = _SynthesisState()
+        self.frames_ok = 0
+        self.frames_bad = 0
+        self.sample_rate = 48000
+
+    def add_bytes(self, data: bytes) -> List[np.ndarray]:
+        self._buf += data
+        out = []
+        while True:
+            idx = self._find_sync()
+            if idx is None:
+                return out
+            if idx:
+                self._buf = self._buf[idx:]
+            frame = np.frombuffer(self._buf, np.uint8)
+            info = parse_header(frame)
+            if info is None or info.frame_size > len(self._buf):
+                if info is None:
+                    self._buf = self._buf[1:]
+                    continue
+                return out
+            pcm, info = decode_frame(frame[:info.frame_size], self._state)
+            self._buf = self._buf[info.frame_size:]
+            if pcm is None:
+                self.frames_bad += 1
+            else:
+                self.frames_ok += 1
+                self.sample_rate = info.sample_rate
+                out.append(pcm)
+
+    def _find_sync(self) -> Optional[int]:
+        b = self._buf
+        for i in range(len(b) - 3):
+            if b[i] == 0xFF and (b[i + 1] & 0xF6) == 0xF4:
+                return i
+        return None
+
+
+# --------------------------------------------------------------- encoder
+
+class Mp2Encoder:
+    """Minimal Layer II encoder for golden fixtures (48 kHz MPEG-1).
+
+    Fixed allocation: every coded subband uses the 16-bit quantizer and
+    scfsi=2 (one scalefactor per frame part set equal); not rate-optimal,
+    but produces fully standard frames a third-party decoder accepts.
+    Supported: mode MONO or STEREO at bitrates with table 3-B.2a
+    (>=56 kbit/s/channel at 48 kHz).
+    """
+
+    def __init__(self, bitrate: int = 192, mode: int = MONO,
+                 sample_rate: int = 48000):
+        assert sample_rate == 48000
+        self.bitrate = bitrate
+        self.mode = mode
+        self.nch = 1 if mode == MONO else 2
+        self._hist = np.zeros((self.nch, 512))
+        self.frame_bytes = frame_size_bytes(bitrate, sample_rate)
+        # choose how many subbands we can afford at 16-bit quantization
+        self._plan_allocation()
+
+    def _plan_allocation(self):
+        cls = _STEP1[0 if self.mode == MONO else 1][
+            BITRATES.index(self.bitrate)]
+        t = _STEP2[cls][1]  # 48 kHz
+        self.sblimit = t & 63
+        self.table_idx = t >> 6
+        budget = self.frame_bytes * 8 - 32  # minus header
+        # per coded subband cost: nbal + 2 (scfsi) + 6 (scale) + 36*16
+        self.coded_sb = []
+        used = 0
+        for sb in range(self.sblimit):
+            row = _STEP3[self.table_idx][sb]
+            nbal = row >> 4
+            # find allocation value giving the 16-bit quantizer (idx 16)
+            q_idx = None
+            for a, q in enumerate(_STEP4[row & 15][: 1 << nbal]):
+                if q == 17:
+                    q_idx = a
+            if q_idx is None:
+                continue
+            cost = (nbal + 2 + 6 + 36 * 16) * self.nch
+            base_cost = nbal * self.nch
+            if used + cost + base_cost * (self.sblimit - sb) > budget:
+                break
+            used += cost
+            self.coded_sb.append((sb, q_idx, nbal))
+        self.coded_set = {sb for sb, _, _ in self.coded_sb}
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        """``pcm``: float (-1..1) [1152] mono or [1152, 2] -> one frame."""
+        pcm = np.asarray(pcm, np.float64)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        assert pcm.shape == (1152, self.nch)
+        # analysis filterbank: 36 granules of 32 samples per channel
+        sub = np.empty((self.nch, 36, 32))
+        m = _analysis_matrix()
+        for ch in range(self.nch):
+            for g in range(36):
+                x = pcm[g * 32:(g + 1) * 32, ch][::-1]
+                self._hist[ch] = np.concatenate([x, self._hist[ch][:-32]])
+                z = self._hist[ch] * C
+                y = z.reshape(8, 64).sum(axis=0)
+                sub[ch, g] = m @ y
+        bits: List[int] = []
+
+        def put(v: int, n: int):
+            bits.extend(((v >> (n - 1 - i)) & 1) for i in range(n))
+
+        # header
+        put(0xFFF, 12)
+        put(1, 1)          # MPEG-1
+        put(0b10, 2)       # Layer II
+        put(1, 1)          # no CRC
+        put(BITRATES.index(self.bitrate) + 1, 4)
+        put(1, 2)          # 48 kHz
+        put(0, 1)          # padding
+        put(0, 1)          # private
+        put(self.mode, 2)
+        put(0, 2)          # mode ext
+        put(0, 4)          # copyright/original/emphasis
+        # allocation
+        for sb in range(self.sblimit):
+            row = _STEP3[self.table_idx][sb]
+            nbal = row >> 4
+            q_idx = next((q for s, q, _ in self.coded_sb if s == sb), 0)
+            for ch in range(self.nch):
+                put(q_idx if sb in self.coded_set else 0, nbal)
+        # scfsi
+        for sb in range(self.sblimit):
+            if sb in self.coded_set:
+                for ch in range(self.nch):
+                    put(2, 2)
+        # scale factors: pick per subband/channel
+        sfs = {}
+        for sb in range(self.sblimit):
+            if sb not in self.coded_set:
+                continue
+            for ch in range(self.nch):
+                peak = np.abs(sub[ch, :, sb]).max() + 1e-12
+                sf = 0
+                while sf < 62 and _scale_value(sf + 1) > peak:
+                    sf += 1
+                sfs[(ch, sb)] = sf
+                put(sf, 6)
+        # samples: 12 groups of 3 granules
+        nlevels = 65535
+        half = (nlevels + 1) / 2.0
+        adj = ((nlevels + 1) >> 1) - 1
+        for part in range(3):
+            for gr in range(4):
+                base = (part * 4 + gr) * 3
+                for sb in range(self.sblimit):
+                    if sb not in self.coded_set:
+                        continue
+                    for ch in range(self.nch):
+                        sc = _scale_value(sfs[(ch, sb)])
+                        for k in range(3):
+                            v = sub[ch, base + k, sb] / sc
+                            code = int(round(adj - v * half))
+                            code = max(0, min(nlevels - 1, code))
+                            put(code, 16)
+        # pad to frame size
+        total = self.frame_bytes * 8
+        assert len(bits) <= total, (len(bits), total)
+        bits.extend([0] * (total - len(bits)))
+        return np.packbits(np.array(bits, np.uint8)).tobytes()

@@ -1,0 +1,214 @@
+"""Reed-Solomon RS(120,110) over GF(2^8) for DAB+ superframes.
+
+Parameters match the reference's Karn-derived decoder instantiation
+(``mp4processor.cpp:71-74``: symsize 8, gfpoly 0o435, fcr 0, prim 1,
+nroots 10, shortened by 135 from RS(255,245); decode semantics of
+``rs-decoder.cpp:28-413``).
+
+* ``rs_encode``       — systematic encoder (modulator / golden fixtures).
+* ``rs_decode_np``    — scalar decoder: syndromes, Berlekamp-Massey, Chien,
+                        Forney.
+* ``rs_decode_batch`` — receiver fast path: all syndromes as one vectorized
+                        GF multiply-accumulate; zero-syndrome codewords (the
+                        overwhelmingly common case) short-circuit, the rest
+                        take the scalar path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+__all__ = ["rs_encode", "rs_decode_np", "rs_decode_batch"]
+
+_GFPOLY = 0o435
+_NROOTS = 10
+_N = 120            # shortened codeword length
+_K = 110
+
+
+@functools.lru_cache(maxsize=None)
+def _gf_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """(log, alog) tables for GF(256), alpha = 0x02, poly 0o435."""
+    alog = np.zeros(510, dtype=np.int32)
+    log = np.zeros(256, dtype=np.int32)
+    x = 1
+    for i in range(255):
+        alog[i] = x
+        log[x] = i
+        x <<= 1
+        if x & 0x100:
+            x ^= _GFPOLY
+    alog[255:510] = alog[:255]
+    return log, alog
+
+
+def _mul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    log, alog = _gf_tables()
+    return int(alog[log[a] + log[b]])
+
+
+def _div(a: int, b: int) -> int:
+    assert b != 0
+    if a == 0:
+        return 0
+    log, alog = _gf_tables()
+    return int(alog[(log[a] - log[b]) % 255])
+
+
+def _pow_alpha(e: int) -> int:
+    _, alog = _gf_tables()
+    return int(alog[e % 255])
+
+
+def _poly_eval(poly: List[int], x: int) -> int:
+    """Evaluate sum_k poly[k] x^k."""
+    acc = 0
+    xp = 1
+    for c in poly:
+        if c:
+            acc ^= _mul(c, xp)
+        xp = _mul(xp, x) if xp else 0
+        if x == 0:
+            xp = 0
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _genpoly() -> Tuple[int, ...]:
+    """Generator polynomial prod_{i=0..9} (x + alpha^i), low-order first."""
+    g = [1]
+    for i in range(_NROOTS):
+        root = _pow_alpha(i)
+        ng = [0] * (len(g) + 1)
+        for k, c in enumerate(g):
+            ng[k] ^= _mul(c, root)
+            ng[k + 1] ^= c
+        g = ng
+    return tuple(g)   # degree 10; g[10] == 1
+
+
+def rs_encode(data: np.ndarray) -> np.ndarray:
+    """Systematic encode (..., 110) data bytes -> (..., 120) codewords."""
+    data = np.asarray(data, np.uint8)
+    lead = data.shape[:-1]
+    flat = data.reshape(-1, _K)
+    g = np.array(_genpoly()[: _NROOTS][::-1], np.int32)  # g9..g0
+    out = np.zeros((flat.shape[0], _N), np.uint8)
+    out[:, :_K] = flat
+    log, alog = _gf_tables()
+    for r in range(flat.shape[0]):
+        rem = [0] * _NROOTS   # rem[0] = highest order
+        for i in range(_K):
+            fb = rem[0] ^ int(flat[r, i])
+            rem = rem[1:] + [0]
+            if fb:
+                lf = log[fb]
+                for k in range(_NROOTS):
+                    if g[k]:
+                        rem[k] ^= int(alog[lf + log[g[k]]])
+        out[r, _K:] = rem
+    return out.reshape(lead + (_N,))
+
+
+@functools.lru_cache(maxsize=None)
+def _syndrome_matrix() -> np.ndarray:
+    """(10, 120) int32: powmat[j, i] = alpha^{j * deg_i}, deg_i = 119-i."""
+    _, alog = _gf_tables()
+    deg = np.arange(_N)[::-1].astype(np.int64)
+    j = np.arange(_NROOTS)[:, None]
+    return alog[(j * deg[None, :]) % 255].astype(np.int32)
+
+
+def _syndromes_batch(cws: np.ndarray) -> np.ndarray:
+    """(..., 120) codewords -> (..., 10) syndromes, vectorized."""
+    log, alog = _gf_tables()
+    cws = np.asarray(cws, np.int32)
+    pm = _syndrome_matrix()                      # (10, 120)
+    lp = log[cws]                                # (..., 120)
+    prod = alog[(lp[..., None, :] + log[pm]) % 255]
+    prod = np.where(cws[..., None, :] == 0, 0, prod)
+    return np.bitwise_xor.reduce(prod, axis=-1)
+
+
+def rs_decode_np(cw: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Decode one 120-byte codeword -> (110 data bytes, n_corrected|-1)."""
+    cw = np.asarray(cw, np.int32).copy()
+    s = [int(v) for v in _syndromes_batch(cw)]
+    if not any(s):
+        return cw[:_K].astype(np.uint8), 0
+
+    # Berlekamp-Massey
+    C = [1] + [0] * _NROOTS
+    B = [1] + [0] * _NROOTS
+    L, m, b = 0, 1, 1
+    for n in range(_NROOTS):
+        d = s[n]
+        for i in range(1, L + 1):
+            d ^= _mul(C[i], s[n - i])
+        if d == 0:
+            m += 1
+        elif 2 * L <= n:
+            T = C[:]
+            coef = _div(d, b)
+            for i in range(_NROOTS + 1 - m):
+                C[i + m] ^= _mul(coef, B[i])
+            L, B, b, m = n + 1 - L, T, d, 1
+        else:
+            coef = _div(d, b)
+            for i in range(_NROOTS + 1 - m):
+                C[i + m] ^= _mul(coef, B[i])
+            m += 1
+    if L > _NROOTS // 2:
+        return cw[:_K].astype(np.uint8), -1
+
+    # Chien search over valid positions (degree 0..119)
+    err_deg = []
+    for d in range(_N):
+        if _poly_eval(C[:L + 1], _pow_alpha(-d)) == 0:
+            err_deg.append(d)
+    if len(err_deg) != L:
+        return cw[:_K].astype(np.uint8), -1
+
+    # Forney: Omega(x) = S(x) C(x) mod x^10
+    omega = [0] * _NROOTS
+    for i in range(_NROOTS):
+        v = 0
+        for k in range(0, min(i, L) + 1):
+            v ^= _mul(C[k], s[i - k])
+        omega[i] = v
+    for d in err_deg:
+        xinv = _pow_alpha(-d)
+        num = _poly_eval(omega, xinv)
+        # formal derivative C'(x): odd-power coefficients shifted down
+        den = 0
+        for k in range(1, L + 1, 2):
+            den ^= _mul(C[k], _pow_alpha((-d) * (k - 1)))
+        if den == 0:
+            return cw[:_K].astype(np.uint8), -1
+        mag = _mul(_div(num, den), _pow_alpha(d))   # X_l^{1-fcr}, fcr=0
+        cw[_N - 1 - d] ^= mag
+    if any(int(v) for v in _syndromes_batch(cw)):
+        return cw[:_K].astype(np.uint8), -1
+    return cw[:_K].astype(np.uint8), len(err_deg)
+
+
+def rs_decode_batch(cws: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode (..., 120) codewords -> ((..., 110) data, (...,) n_corrected).
+
+    n_corrected is -1 where decoding failed (mirrors rs-decoder.cpp dec()).
+    """
+    cws = np.asarray(cws, np.uint8)
+    lead = cws.shape[:-1]
+    flat = cws.reshape(-1, _N)
+    synd = _syndromes_batch(flat)
+    dirty = synd.any(axis=-1)
+    data = flat[:, :_K].copy()
+    ncorr = np.zeros(flat.shape[0], np.int32)
+    for i in np.flatnonzero(dirty):
+        data[i], ncorr[i] = rs_decode_np(flat[i])
+    return data.reshape(lead + (_K,)), ncorr.reshape(lead)
