@@ -110,9 +110,10 @@ def test_mp2_closed_loop_snr():
         pcm.extend(dec.add_bytes(enc.encode(sig[i * 1152:(i + 1) * 1152])))
     assert dec.frames_ok == 4 and dec.frames_bad == 0
     out = np.concatenate(pcm)[:, 0] / 32768.0
-    lag = 745  # analysis+synthesis filterbank latency (481) + frame offset
-    best = max(range(400, 1100), key=lambda l: np.dot(
-        out[l:], sig[:len(out) - l]))
+    # analysis+synthesis filterbank latency is deterministic: 745 samples
+    best = max(range(730, 760), key=lambda l: np.dot(
+        out[l:], sig[:len(out) - l]) /
+        (np.linalg.norm(out[l:]) * np.linalg.norm(sig[:len(out) - l]) + 1e-9))
     a, b = out[best:], sig[:len(out) - best]
     err = a - b
     snr = 10 * np.log10(np.dot(b, b) / (np.dot(err, err) + 1e-12))
