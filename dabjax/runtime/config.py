@@ -1,0 +1,25 @@
+"""Runtime configuration — the single config surface of the framework.
+
+Collapses the reference's three tiers (CMake feature flags, argv, ini file +
+GUI widgets; SURVEY.md §5 "Config / flag system") into one dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ReceiverConfig:
+    mode: int = 1                    # DAB transmission mode I..IV
+    frames_per_block: int = 4        # frames demodulated per device batch
+    sync_threshold: float = 3.0      # PRS correlation gate (phasereference)
+    coarse_cfo: bool = True          # coarse corrector on (ofdm-processor)
+    max_coarse_khz: float = 35.0     # +-35 kHz clamp (ofdm-processor:400)
+    service: Optional[str] = None    # decode one service; None = all
+    decode_audio: bool = True        # run MP2/AAC handlers on decoded bytes
+    decode_data: bool = True         # run PAD/MOT/packet handlers
+    scan_attempts: int = 5           # no-signal attempts before giving up
+    dump_iq_path: Optional[str] = None     # raw-IQ tap (ofdm-processor dump)
+    dump_audio_path: Optional[str] = None  # PCM tap (audiosink dump)

@@ -1,0 +1,312 @@
+"""The receiver runtime: source -> OFDM -> FIC/MSC -> audio/data sinks.
+
+This is the control plane that replaces the reference's thread+ringbuffer
+topology (SURVEY.md §1): instead of five threads handing single symbols
+around, the host orchestrates *blocks of frames* through jit-compiled device
+stages and routes the decoded bytes to per-service handlers.
+
+Pipeline per block (all device work batched over frames):
+  1. frame rows gathered at the tracked PRS position (timing from per-block
+     PRS correlation — replaces the SyncOnPhase state,
+     ofdm-processor.cpp:344-366)
+  2. fine CFO estimated from guard correlation and applied as a phase ramp
+     (replaces the 0.1-gain integrator, ofdm-processor.cpp:445-446)
+  3. batched FFT demod -> soft bits (ofdm-decoder semantics)
+  4. FIC: depuncture + Viterbi + CRC gate -> FIB bytes -> EnsembleDB (host)
+  5. MSC: CIFs assembled, all (or one selected) subchannels decoded via
+     bucketed Viterbi, logical frames routed to MP2 / DAB+ / packet handlers
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dabjax.constants import CIF_BITS, get_mode
+from dabjax.audio.aac import AacSink
+from dabjax.audio.mp2 import Mp2Decoder
+from dabjax.audio.mp4 import SuperframeDecoder
+from dabjax.fic.fib import EnsembleDB
+from dabjax.fic.fic_decoder import decode_fic
+from dabjax.msc.cif import cifs_from_soft
+from dabjax.msc.deinterleave import HISTORY
+from dabjax.msc.subchannel import EnsembleDecoder, SubchGeometry
+from dabjax.ofdm import acquisition, demod
+from dabjax.runtime.config import ReceiverConfig
+from dabjax.runtime.metrics import Metrics
+
+__all__ = ["Receiver", "AudioService"]
+
+
+class AudioService:
+    """Per-service audio chain: logical frames -> PCM / AUs."""
+
+    def __init__(self, subch_id: int, bitrate: int, is_dab_plus: bool,
+                 metrics: Metrics):
+        self.subch_id = subch_id
+        self.is_dab_plus = is_dab_plus
+        self.metrics = metrics
+        if is_dab_plus:
+            self.superframe = SuperframeDecoder(bitrate)
+            self.aac = AacSink()
+            self.mp2 = None
+        else:
+            self.superframe = None
+            self.mp2 = Mp2Decoder()
+        self.pcm: List[np.ndarray] = []
+
+    def add_logical_frame(self, bits: np.ndarray):
+        data = np.packbits(np.asarray(bits, np.uint8))
+        if self.is_dab_plus:
+            pre_ok = self.superframe.superframes_ok
+            aus = self.superframe.add_frame(data)
+            for au in aus:
+                if au.crc_ok:
+                    self.metrics.au_ok += 1
+                    hdr = self.superframe.header
+                    self.aac.configure(hdr.dac_rate, hdr.sbr_flag,
+                                       hdr.mpeg_surround,
+                                       hdr.aac_channel_mode)
+                    self.aac.add_au(au.data)
+                else:
+                    self.metrics.au_bad += 1
+            self.metrics.superframes_ok = self.superframe.superframes_ok
+            self.metrics.superframes_bad = self.superframe.superframe_errors
+            self.metrics.rs_corrected = self.superframe.rs_corrected
+        else:
+            for pcm in self.mp2.add_bytes(data.tobytes()):
+                self.pcm.append(pcm)
+            self.metrics.mp2_frames_ok = self.mp2.frames_ok
+            self.metrics.mp2_frames_bad = self.mp2.frames_bad
+
+
+class Receiver:
+    """Block-batched DAB receiver (the RadioInterface + ofdmProcessor +
+    ficHandler + mscHandler control flow, re-architected)."""
+
+    def __init__(self, source, config: Optional[ReceiverConfig] = None,
+                 data_handler_factory=None):
+        self.source = source
+        self.cfg = config or ReceiverConfig()
+        self.p = get_mode(self.cfg.mode)
+        self.db = EnsembleDB()
+        self.metrics = Metrics()
+        self.audio: Dict[int, AudioService] = {}
+        self.data_handler_factory = data_handler_factory
+        self.data_handlers: Dict[int, object] = {}
+        self._buf = np.zeros(0, np.complex64)
+        self._buf_base = 0          # absolute index of _buf[0]
+        self._u0: Optional[int] = None  # absolute PRS-useful-start index
+        self._coarse_hz = 0.0
+        self._cif_hist = np.zeros((HISTORY, CIF_BITS), np.float32)
+        self._hist_valid = 0        # CIFs of real history accumulated
+        self._decoder: Optional[EnsembleDecoder] = None
+        self._decoder_key = None
+        self._block_fn = self._build_block_fn()
+
+    # ------------------------------------------------------------- device
+
+    def _build_block_fn(self):
+        p = self.p
+        cfg = self.cfg
+
+        @jax.jit
+        def block(rows, coarse_hz):
+            rows = demod.apply_cfo(rows, jnp.broadcast_to(
+                coarse_hz, rows.shape[:1]))
+            fine = demod.fine_cfo_estimate(rows, p)
+            rows = demod.apply_cfo(rows, fine)
+            soft, spec0 = demod.demodulate_frames(rows, p)
+            snr = demod.snr_estimate(spec0, p)
+            coarse = demod.coarse_cfo_estimate(spec0, p)
+            fibs, fic_ok = decode_fic(soft[:, : p.fic_symbols, :], p)
+            # per-frame PRS timing: correlate frame 0's window
+            imp = acquisition.prs_correlate(rows[:1, : p.T_u], p)
+            t_off = jnp.argmax(imp, axis=-1)
+            return soft, snr, fine, coarse, fibs, fic_ok, t_off
+
+        return block
+
+    # --------------------------------------------------------------- I/O
+
+    def _ensure(self, abs_end: int) -> bool:
+        """Grow the buffer to cover absolute sample index < abs_end."""
+        need = abs_end - (self._buf_base + self._buf.shape[0])
+        if need > 0:
+            chunk = self.source.read(int(need))
+            if chunk.shape[0] < need:
+                if chunk.shape[0]:
+                    self._buf = np.concatenate([self._buf, chunk])
+                return False
+            self._buf = np.concatenate([self._buf, chunk])
+        return True
+
+    def _drop_before(self, abs_idx: int):
+        # never drop past what was actually read: _buf_base + len(_buf) must
+        # stay equal to the number of samples consumed from the source
+        cut = min(abs_idx - self._buf_base, self._buf.shape[0])
+        if cut > 0:
+            self._buf = self._buf[cut:]
+            self._buf_base += cut
+
+    # ---------------------------------------------------------- acquire
+
+    def acquire(self) -> bool:
+        p = self.p
+        for _ in range(self.cfg.scan_attempts):
+            if not self._ensure(self._buf_base + 2 * p.T_F + p.T_null
+                                + p.T_u):
+                return False
+            u0 = acquisition.acquire(self._buf, p, self.cfg.sync_threshold)
+            if u0 is not None:
+                self._u0 = self._buf_base + int(u0)
+                self.metrics.synced = True
+                return True
+            self._drop_before(self._buf_base + p.T_F)
+        self.metrics.synced = False
+        return False
+
+    # -------------------------------------------------------------- step
+
+    def step(self) -> bool:
+        """Process one block of cfg.frames_per_block frames.
+
+        Returns False when the source is exhausted.
+        """
+        p = self.p
+        F = self.cfg.frames_per_block
+        if self._u0 is None and not self.acquire():
+            return False
+        need = demod.min_frame_samples(p)
+        end = self._u0 + (F - 1) * p.T_F + need
+        if not self._ensure(end):
+            return False
+        base = self._u0 - self._buf_base
+        rows = np.stack([
+            self._buf[base + f * p.T_F: base + f * p.T_F + need]
+            for f in range(F)])
+
+        soft, snr, fine, coarse, fibs, fic_ok, t_off = self._block_fn(
+            jnp.asarray(rows), jnp.float32(self._coarse_hz))
+        soft = np.asarray(soft)
+        fic_ok = np.asarray(fic_ok)
+        fibs_np = np.asarray(fibs)
+
+        # ----- metrics + correctors
+        self.metrics.frames += F
+        self.metrics.samples_processed += F * p.T_F
+        self.metrics.snr_db = float(np.mean(np.asarray(snr)))
+        self.metrics.fine_cfo_hz = float(np.mean(np.asarray(fine)))
+        if self.cfg.coarse_cfo:
+            step = float(np.median(np.asarray(coarse))) * p.carrier_diff
+            self._coarse_hz += step
+            if abs(self._coarse_hz) > self.cfg.max_coarse_khz * 1000:
+                self._coarse_hz = 0.0
+            self.metrics.coarse_cfo_hz = self._coarse_hz
+        # ----- timing tracking: PRS impulse should sit at 0
+        off = int(np.asarray(t_off)[0])
+        if off > p.T_u // 2:
+            off -= p.T_u
+        if 0 < abs(off) <= p.T_g:
+            self._u0 += off
+
+        # ----- FIC -> ensemble database
+        for f in range(F):
+            for i in range(fibs_np.shape[1]):
+                if fic_ok[f, i]:
+                    self.metrics.fic_crc_ok += 1
+                    self.db.process_fib_bits(fibs_np[f, i])
+                else:
+                    self.metrics.fic_crc_bad += 1
+
+        # ----- MSC
+        cifs = np.asarray(cifs_from_soft(jnp.asarray(soft), p))
+        self._process_cifs(cifs)
+
+        self._u0 += F * p.T_F
+        self._drop_before(self._u0 - p.T_u)
+        return True
+
+    # --------------------------------------------------------------- MSC
+
+    def _geometries(self) -> List[SubchGeometry]:
+        geoms = []
+        if self.cfg.service is not None:
+            ad = self.db.data_for_audio_service(self.cfg.service)
+            pd = (self.db.data_for_data_service(self.cfg.service)
+                  if ad is None else None)
+            d = ad or pd
+            if d is None:
+                return []
+            sc = self.db.subchannels[d.subch_id]
+            return [SubchGeometry.from_db(sc)]
+        for sc in self.db.subchannels.values():
+            if sc.bitrate > 0 and sc.length > 0:
+                geoms.append(SubchGeometry.from_db(sc))
+        return geoms
+
+    def _process_cifs(self, cifs: np.ndarray):
+        geoms = self._geometries()
+        if not geoms:
+            # still waiting for FIG 0/1; keep rolling history
+            self._push_history(cifs)
+            return
+        key = tuple(sorted((g.subch_id,) + g.shape_key + (g.start_addr,)
+                           for g in geoms))
+        if key != self._decoder_key:
+            self._decoder = EnsembleDecoder(geoms, self.p)
+            self._decoder_key = key
+        block = np.concatenate([self._cif_hist, cifs], axis=0)
+        out = self._decoder.decode(jnp.asarray(block))
+        warmup = max(0, HISTORY - self._hist_valid)
+        for subch_id, frames in out.items():
+            for t in range(warmup, frames.shape[0]):
+                self._route(subch_id, frames[t])
+        self._push_history(cifs)
+
+    def _push_history(self, cifs: np.ndarray):
+        joined = np.concatenate([self._cif_hist, cifs], axis=0)
+        self._cif_hist = joined[-HISTORY:]
+        self._hist_valid = min(HISTORY, self._hist_valid + cifs.shape[0])
+
+    # ------------------------------------------------------------- route
+
+    def _audio_meta(self, subch_id: int):
+        for svc in self.db.services.values():
+            if not svc.has_label:
+                continue
+            d = self.db.data_for_audio_service(svc.label)
+            if d is not None and d.subch_id == subch_id:
+                return d
+        return None
+
+    def _route(self, subch_id: int, bits: np.ndarray):
+        if subch_id in self.audio:
+            self.audio[subch_id].add_logical_frame(bits)
+            return
+        if subch_id in self.data_handlers:
+            self.data_handlers[subch_id].add_logical_frame(bits)
+            return
+        meta = self._audio_meta(subch_id)
+        if meta is not None and self.cfg.decode_audio:
+            self.audio[subch_id] = AudioService(
+                subch_id, meta.bitrate, meta.is_dab_plus, self.metrics)
+            self.audio[subch_id].add_logical_frame(bits)
+            return
+        if self.cfg.decode_data and self.data_handler_factory is not None:
+            h = self.data_handler_factory(self.db, subch_id)
+            if h is not None:
+                self.data_handlers[subch_id] = h
+                h.add_logical_frame(bits)
+
+    # ---------------------------------------------------------------- run
+
+    def run(self, n_blocks: int) -> Metrics:
+        for _ in range(n_blocks):
+            if not self.step():
+                break
+        return self.metrics

@@ -1,0 +1,124 @@
+"""Full-system test: modulated ensemble with real audio payloads through the
+complete Receiver runtime (BASELINE.json configs 2+3 semantics).
+
+* a DAB+ service carrying proper superframes (firecode + RS + AU CRC):
+  recovered AUs must match the injected AU payloads byte-exactly
+* a classic DAB service carrying MPEG Layer II frames of a known sine:
+  the MP2 decoder must sync and decode PCM
+"""
+
+import numpy as np
+import pytest
+
+from dabjax.audio import mp4
+from dabjax.audio.mp2 import Mp2Encoder
+from dabjax.io.sources import SyntheticSource
+from dabjax.runtime.config import ReceiverConfig
+from dabjax.runtime.receiver import Receiver
+from dabjax.tx.fig import ServiceSpec
+from dabjax.tx.modulator import Modulator
+
+BITRATE_PLUS = 88
+BITRATE_MP2 = 96
+
+
+def _dabplus_payloads():
+    """Deterministic superframe stream keyed by superframe index."""
+    cache = {}
+
+    def au_bytes(sf_index: int, k: int) -> bytes:
+        rng = np.random.default_rng(1000 + 17 * sf_index + k)
+        return rng.integers(0, 256, 120, dtype=np.uint8).tobytes()
+
+    def payload(cif_index: int) -> np.ndarray:
+        sf, part = divmod(cif_index % (1 << 20), 5)
+        if sf not in cache:
+            aus = [au_bytes(sf, k) for k in range(3)]
+            cache[sf] = mp4.build_superframe(
+                BITRATE_PLUS, aus, dac_rate=1, sbr_flag=1)
+        return np.unpackbits(cache[sf][part])
+
+    return payload, au_bytes
+
+
+def _mp2_payloads(n: int):
+    enc = Mp2Encoder(bitrate=BITRATE_MP2, mode=3)
+    fs = 48000
+    t = np.arange(1152 * n) / fs
+    sig = 0.4 * np.sin(2 * np.pi * 880 * t)
+    frames = [np.unpackbits(np.frombuffer(
+        enc.encode(sig[i * 1152:(i + 1) * 1152]), np.uint8))
+        for i in range(n)]
+
+    def payload(cif_index: int) -> np.ndarray:
+        return frames[cif_index % n]
+
+    return payload
+
+
+@pytest.fixture(scope="module")
+def rx():
+    services = [
+        ServiceSpec(label="PLUSRADIO", sid=0x6001, subch_id=4, start_addr=0,
+                    bitrate=BITRATE_PLUS, protection="EEP-A", prot_level=3,
+                    kind="DAB+"),
+        ServiceSpec(label="CLASSIC", sid=0x6002, subch_id=8, start_addr=120,
+                    bitrate=BITRATE_MP2, protection="EEP-A", prot_level=3,
+                    kind="DAB"),
+    ]
+    plus_payload, au_bytes = _dabplus_payloads()
+    mp2_payload = _mp2_payloads(40)
+    mod = Modulator(mode=1, services=services,
+                    payloads={4: plus_payload, 8: mp2_payload})
+    src = SyntheticSource(mod, snr_db=30.0, lead_in=4321)
+    r = Receiver(src, ReceiverConfig(frames_per_block=4))
+    # 3 blocks x 4 frames x 4 CIFs = 48 CIFs -> 33 routed logical frames
+    r.run(3)
+    return r, au_bytes
+
+
+def test_sync_and_fic(rx):
+    r, _ = rx
+    assert r.metrics.synced
+    assert r.metrics.fic_ratio == 1.0
+    assert {"PLUSRADIO", "CLASSIC"} <= set(r.db.service_labels())
+
+
+def test_dabplus_aus_recovered(rx):
+    r, au_bytes = rx
+    svc = r.audio.get(4)
+    assert svc is not None and svc.is_dab_plus
+    assert svc.superframe.superframes_ok >= 3
+    assert r.metrics.au_bad == 0 and r.metrics.au_ok >= 9
+    # AU payloads are 120 bytes; received AUs may carry zero padding on the
+    # superframe-final AU — compare prefixes against the generator.
+    aus = svc.aac.aus
+    assert len(aus) >= 9
+    matched = 0
+    for au in aus:
+        for sf in range(20):
+            for k in range(3):
+                if au[:120] == au_bytes(sf, k):
+                    matched += 1
+    assert matched == len(aus)
+
+
+def test_mp2_stream_decodes(rx):
+    r, _ = rx
+    svc = r.audio.get(8)
+    assert svc is not None and not svc.is_dab_plus
+    assert svc.mp2.frames_ok >= 10 and svc.mp2.frames_bad == 0
+    pcm = np.concatenate(svc.pcm)
+    assert pcm.shape[1] == 2
+    # 880 Hz tone must dominate the spectrum
+    x = pcm[2000:2000 + 8192, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.shape[0])))
+    peak = np.argmax(spec)
+    freq = peak * 48000 / 8192
+    assert abs(freq - 880) < 30, freq
+
+
+def test_metrics_dashboard(rx):
+    r, _ = rx
+    s = r.metrics.dashboard()
+    assert "sync=Y" in s and "fic=100.0%" in s
