@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: full-ensemble DAB decode throughput on one TPU chip.
+
+Measures the jitted OFDM demod + FIC + all-subchannel MSC Viterbi pipeline
+(BASELINE.json config 4: every subchannel of the CIF decoded concurrently)
+on synthesized Mode I IQ, and reports the real-time factor per chip.
+
+Baseline = the reference receiver's implicit 1.0x real-time decode of a
+single subchannel at 2.048 Msps on a desktop CPU (BASELINE.md), so
+vs_baseline == the measured real-time factor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dabjax.constants import INPUT_RATE, get_mode
+    from dabjax.ofdm import demod
+    from dabjax.runtime.pipeline import full_ensemble_pipeline
+    from dabjax.msc.subchannel import SubchGeometry
+    from dabjax.tx.fig import ServiceSpec
+    from dabjax.tx.modulator import Modulator
+
+    p = get_mode(1)
+    # 12 x 96 kbps EEP-A P3 services fill the CIF: 12 x 72 = 864 CUs
+    services = [
+        ServiceSpec(label=f"S{i:02d}", sid=0x8100 + i, subch_id=i,
+                    start_addr=i * 72, bitrate=96, protection="EEP-A",
+                    prot_level=3, kind="DAB+")
+        for i in range(12)
+    ]
+    geoms = tuple(
+        SubchGeometry(s.subch_id, s.start_addr, s.length_cus, s.bitrate,
+                      s.protection, s.prot_level) for s in services)
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    mod = Modulator(mode=1, services=services)
+    iq = mod.iq(n_frames, snr_db=None)
+    u0 = p.T_null + p.T_g
+    need = demod.min_frame_samples(p)
+    rows = np.stack([iq[u0 + f * p.T_F: u0 + f * p.T_F + need]
+                     for f in range(n_frames)])
+    rows = jax.device_put(jnp.asarray(rows))
+
+    fn = jax.jit(full_ensemble_pipeline(p, geoms))
+    # compile + correctness gate: all FIBs must pass CRC.  (int32 sum, not
+    # jnp.all: bool device->host transfer is unimplemented on this runtime)
+    ok, bits = jax.block_until_ready(fn(rows))
+    assert int(jnp.sum(ok)) == ok.size, "FIC CRC failed on clean golden IQ"
+    want = mod.payload_bits(0, 0)
+    got = np.asarray(bits[0, 15])
+    assert np.array_equal(got, want), "MSC decode mismatch on golden IQ"
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(rows)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    samples = n_frames * p.T_F
+    sps = samples / dt
+    rt = sps / INPUT_RATE
+    # coded Viterbi throughput: full CIF (2.304 Mbit per 24 ms) + FIC
+    msc_coded_bits = n_frames * 4 * 864 * 64
+    fic_coded_bits = n_frames * 4 * 2304
+    viterbi_mbps = (msc_coded_bits + fic_coded_bits) / dt / 1e6
+
+    result = {
+        "metric": "full_ensemble_realtime_factor_per_chip",
+        "value": round(rt, 2),
+        "unit": "x realtime (2.048 Msps, all 12 subchannels + FIC)",
+        "vs_baseline": round(rt, 2),
+        "extra": {
+            "samples_per_sec": int(sps),
+            "viterbi_coded_mbit_per_sec": round(viterbi_mbps, 1),
+            "frames_per_batch": n_frames,
+            "seconds_per_batch": round(dt, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,4 +54,6 @@ def decode_fic(fic_soft: jnp.ndarray, p: DabParams
     bits = prbs.disperse(bits)                         # energy dispersal
     fibs = bits.reshape(F, n_cw * 3, 256)
     ok = check_crc16_bits(fibs, inverted=True)
-    return fibs, ok
+    # int32 rather than bool: device->host bool transfers are unimplemented
+    # on some experimental TPU runtimes, and int32 costs nothing here
+    return fibs, ok.astype(jnp.int32)

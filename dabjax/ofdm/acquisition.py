@@ -116,14 +116,15 @@ def acquire(x: np.ndarray, p: DabParams, threshold: float = 3.0
         return None
     xb = jnp.asarray(x[:need])
     null_end, found = find_null(xb, p)
-    if not bool(found):
+    # int32 cast before host pull: bool transfers are unimplemented on axon
+    if not int(found.astype(jnp.int32)):
         return None
     # null_end points at the envelope rise, which lags the true PRS start by
     # up to the 50-sample window; search a T_u window starting slightly back.
     base = max(int(null_end) - _ENV_WIN, 0)
     win = jnp.asarray(x[base: base + p.T_u])
     start, ok = prs_sync(win[None, :], p, threshold)
-    if not bool(ok[0]):
+    if not int(ok[0].astype(jnp.int32)):
         return None
     u0 = base + int(start[0])
     # the correlation may land on the guard-period copy one T_u early; the

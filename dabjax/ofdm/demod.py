@@ -55,11 +55,14 @@ def demodulate_frames(samples: jnp.ndarray, p: DabParams
     cb = jnp.asarray(tables.carrier_bins(p.mode, p.T_u, p.K))
     wins = samples[:, idx]                       # [F, L, T_u]
     spec = jnp.fft.fft(wins, axis=-1)
-    carriers = spec[:, :, cb]                    # [F, L, K]
-    r1 = carriers[:, 1:, :] * jnp.conj(carriers[:, :-1, :])
+    # DQPSK over the full spectrum, then gather the interleaved carriers as
+    # float soft bits: complex gathers along the minor axis are unimplemented
+    # on the experimental axon TPU backend, float gathers are fine, and the
+    # per-bin DQPSK is elementwise so the reordering is exact.
+    r1 = spec[:, 1:, :] * jnp.conj(spec[:, :-1, :])   # [F, L-1, T_u]
     ab = jnp.abs(r1) + 1e-20
-    soft_re = -jnp.real(r1) / ab * 127.0
-    soft_im = -jnp.imag(r1) / ab * 127.0
+    soft_re = (-jnp.real(r1) / ab * 127.0)[:, :, cb]  # [F, L-1, K]
+    soft_im = (-jnp.imag(r1) / ab * 127.0)[:, :, cb]
     soft = jnp.concatenate([soft_re, soft_im], axis=-1).astype(jnp.float32)
     return soft, spec[:, 0, :]
 
@@ -129,7 +132,10 @@ def coarse_cfo_estimate(spectrum0: jnp.ndarray, p: DabParams,
     lo = T_u // 2 - K // 2
     shift_idx = (np.arange(-search, search + 1)[:, None]
                  + lo + np.arange(K)[None, :])
-    cand = d_rx[..., shift_idx]                  # [..., 2*search+1, K]
+    # gather real/imag separately (complex minor-axis gathers are
+    # unimplemented on the axon TPU backend)
+    cand = (jnp.real(d_rx)[..., shift_idx]
+            + 1j * jnp.imag(d_rx)[..., shift_idx])  # [..., 2*search+1, K]
     score = jnp.abs(jnp.sum(cand * jnp.conj(d_ref_band), axis=-1))
     best = jnp.argmax(score, axis=-1)
     return (best - search).astype(jnp.int32)

@@ -95,44 +95,56 @@ def fig0_0(ensemble_id: int, cif_count: int) -> bytes:
     return w.to_fig(0)
 
 
-def fig0_1(services: Sequence[ServiceSpec]) -> bytes:
-    w = _FigWriter()
-    _fig0_header(w, 1)
-    for s in services:
-        w.u(s.subch_id, 6)
-        w.u(s.start_addr, 10)
-        if s.protection == "UEP":
-            w.u(0, 1)  # short form
-            w.u(0, 1)  # table switch
-            w.u(_SHORT_FORM_INDEX[(s.prot_level, s.bitrate)], 6)
-        else:
-            w.u(1, 1)  # long form
-            w.u(0 if s.protection.endswith("A") else 1, 3)
-            w.u(s.prot_level - 1, 2)
-            w.u(s.length_cus, 10)
-    return w.to_fig(0)
+def _chunks(seq, n):
+    return [seq[i:i + n] for i in range(0, len(seq), n)]
 
 
-def fig0_2(services: Sequence[ServiceSpec]) -> bytes:
-    w = _FigWriter()
-    _fig0_header(w, 2)
-    for s in services:
-        w.u(s.sid, 16)
-        w.u(0, 1)   # local flag
-        w.u(0, 3)   # CAId
-        w.u(1, 4)   # number of components
-        if s.kind == "packet":
-            w.u(3, 2)                 # TMid packet
-            w.u(s.subch_id, 12)       # SCId (reuse subch_id as SCId)
-            w.u(0, 1)                 # PS
-            w.u(0, 1)                 # CA
-        else:
-            w.u(0, 2)                 # TMid audio
-            w.u(s.ascty, 6)
+def fig0_1(services: Sequence[ServiceSpec]) -> List[bytes]:
+    """Subchannel organization; split over FIGs (max 6 entries each)."""
+    figs = []
+    for group in _chunks(list(services), 6):
+        w = _FigWriter()
+        _fig0_header(w, 1)
+        for s in group:
             w.u(s.subch_id, 6)
-            w.u(1, 1)                 # PS (primary)
-            w.u(0, 1)                 # CA
-    return w.to_fig(0)
+            w.u(s.start_addr, 10)
+            if s.protection == "UEP":
+                w.u(0, 1)  # short form
+                w.u(0, 1)  # table switch
+                w.u(_SHORT_FORM_INDEX[(s.prot_level, s.bitrate)], 6)
+            else:
+                w.u(1, 1)  # long form
+                w.u(0 if s.protection.endswith("A") else 1, 3)
+                w.u(s.prot_level - 1, 2)
+                w.u(s.length_cus, 10)
+        figs.append(w.to_fig(0))
+    return figs
+
+
+def fig0_2(services: Sequence[ServiceSpec]) -> List[bytes]:
+    """Service organization; split over FIGs (max 5 services each)."""
+    figs = []
+    for group in _chunks(list(services), 5):
+        w = _FigWriter()
+        _fig0_header(w, 2)
+        for s in group:
+            w.u(s.sid, 16)
+            w.u(0, 1)   # local flag
+            w.u(0, 3)   # CAId
+            w.u(1, 4)   # number of components
+            if s.kind == "packet":
+                w.u(3, 2)                 # TMid packet
+                w.u(s.subch_id, 12)       # SCId (reuse subch_id as SCId)
+                w.u(0, 1)                 # PS
+                w.u(0, 1)                 # CA
+            else:
+                w.u(0, 2)                 # TMid audio
+                w.u(s.ascty, 6)
+                w.u(s.subch_id, 6)
+                w.u(1, 1)                 # PS (primary)
+                w.u(0, 1)                 # CA
+        figs.append(w.to_fig(0))
+    return figs
 
 
 def fig0_3(s: ServiceSpec) -> bytes:
@@ -206,8 +218,8 @@ def build_fib_schedule(ensemble_id: int, ensemble_label: str,
     """
     figs: List[bytes] = [
         fig0_0(ensemble_id, cif_count),
-        fig0_1(services),
-        fig0_2(services),
+        *fig0_1(services),
+        *fig0_2(services),
         fig1_0(ensemble_id, ensemble_label),
     ]
     for s in services:
