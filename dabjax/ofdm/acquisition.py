@@ -53,16 +53,19 @@ def find_null(x: jnp.ndarray, p: DabParams,
     """
     env = moving_average_envelope(x)
     level = jnp.mean(jnp.abs(x))
-    below = env < dip_ratio * level
-    above = env > rise_ratio * level
+    # float 0/1 masks throughout: bool arrays (and bool gathers/transfers)
+    # are unimplemented on the experimental axon TPU backend
+    below = (env < dip_ratio * level).astype(jnp.float32)
+    above = (env > rise_ratio * level).astype(jnp.float32)
     n = env.shape[-1]
     # first index where env dips
     dip_idx = jnp.argmax(below)
     found_dip = below[dip_idx]
     # first index after the dip where env rises again
-    after = jnp.arange(n) > dip_idx
-    rise_idx = jnp.argmax(above & after)
-    found = found_dip & (above & after)[rise_idx]
+    after = (jnp.arange(n) > dip_idx).astype(jnp.float32)
+    rise = above * after
+    rise_idx = jnp.argmax(rise)
+    found = found_dip * rise[rise_idx]
     return rise_idx, found
 
 
@@ -100,7 +103,8 @@ def prs_sync(windows: jnp.ndarray, p: DabParams, threshold: float = 3.0
     idx = jnp.argmax(imp, axis=-1)
     mx = jnp.max(imp, axis=-1)
     mean = jnp.mean(imp, axis=-1)
-    return idx.astype(jnp.int32), mx >= threshold * mean
+    ok = (mx >= threshold * mean).astype(jnp.float32)
+    return idx.astype(jnp.int32), ok
 
 
 def acquire(x: np.ndarray, p: DabParams, threshold: float = 3.0
@@ -116,15 +120,14 @@ def acquire(x: np.ndarray, p: DabParams, threshold: float = 3.0
         return None
     xb = jnp.asarray(x[:need])
     null_end, found = find_null(xb, p)
-    # int32 cast before host pull: bool transfers are unimplemented on axon
-    if not int(found.astype(jnp.int32)):
+    if not float(found):
         return None
     # null_end points at the envelope rise, which lags the true PRS start by
     # up to the 50-sample window; search a T_u window starting slightly back.
     base = max(int(null_end) - _ENV_WIN, 0)
     win = jnp.asarray(x[base: base + p.T_u])
     start, ok = prs_sync(win[None, :], p, threshold)
-    if not int(ok[0].astype(jnp.int32)):
+    if not float(ok[0]):
         return None
     u0 = base + int(start[0])
     # the correlation may land on the guard-period copy one T_u early; the

@@ -38,18 +38,30 @@ from dabjax.msc.subchannel import EnsembleDecoder, SubchGeometry
 from dabjax.ofdm import acquisition, demod
 from dabjax.runtime.config import ReceiverConfig
 from dabjax.runtime.metrics import Metrics
+from dabjax.data.pad import PadHandler
+from dabjax.data.packet import PacketService
 
 __all__ = ["Receiver", "AudioService"]
 
 
+def default_data_handler_factory(db: EnsembleDB, subch_id: int):
+    """Build a PacketService from the ensemble DB's packet component
+    signalling (the set_dataChannel analog, msc-handler.cpp:125)."""
+    for comp in db.components:
+        if comp.tmid == 3 and comp.subch_id == subch_id and comp.dscty >= 0:
+            return PacketService(comp.dscty)
+    return None
+
+
 class AudioService:
-    """Per-service audio chain: logical frames -> PCM / AUs."""
+    """Per-service audio chain: logical frames -> PCM / AUs (+ PAD)."""
 
     def __init__(self, subch_id: int, bitrate: int, is_dab_plus: bool,
                  metrics: Metrics):
         self.subch_id = subch_id
         self.is_dab_plus = is_dab_plus
         self.metrics = metrics
+        self.pad = PadHandler()
         if is_dab_plus:
             self.superframe = SuperframeDecoder(bitrate)
             self.aac = AacSink()
@@ -58,6 +70,14 @@ class AudioService:
             self.superframe = None
             self.mp2 = Mp2Decoder()
         self.pcm: List[np.ndarray] = []
+
+    @property
+    def dynamic_label(self) -> str:
+        return self.pad.label
+
+    @property
+    def slides(self):
+        return self.pad.mot.objects
 
     def add_logical_frame(self, bits: np.ndarray):
         data = np.packbits(np.asarray(bits, np.uint8))
@@ -68,6 +88,7 @@ class AudioService:
                 if au.crc_ok:
                     self.metrics.au_ok += 1
                     hdr = self.superframe.header
+                    self.pad.process_au(bytes(au.data))
                     self.aac.configure(hdr.dac_rate, hdr.sbr_flag,
                                        hdr.mpeg_surround,
                                        hdr.aac_channel_mode)
@@ -96,7 +117,8 @@ class Receiver:
         self.db = EnsembleDB()
         self.metrics = Metrics()
         self.audio: Dict[int, AudioService] = {}
-        self.data_handler_factory = data_handler_factory
+        self.data_handler_factory = (data_handler_factory
+                                     or default_data_handler_factory)
         self.data_handlers: Dict[int, object] = {}
         self._buf = np.zeros(0, np.complex64)
         self._buf_base = 0          # absolute index of _buf[0]
