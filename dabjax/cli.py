@@ -1,0 +1,189 @@
+"""Command-line control plane — the RadioInterface/GUI replacement.
+
+Subcommands (the reference's GUI actions, SURVEY.md §2.4):
+
+* ``info``   — tune a source, decode the FIC, print the ensemble/service
+               database (the service-list panel).
+* ``decode`` — decode one service (or all) to WAV / AU streams, with PAD
+               dynamic labels and MOT slides saved alongside.
+* ``scan``   — band-scan over channel=file pairs, reporting ensembles
+               found (gui.cpp:561-638 loop, files standing in for the
+               tuner).
+
+Sources are IQ files (.raw u8 / .sdr/.wav float), ``rtl_tcp://host:port``,
+or ``null`` — the device zoo of §2.3 collapsed onto the Source protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def open_source(spec: str):
+    from dabjax.io import sources
+    if spec == "null":
+        return sources.NullSource()
+    if spec.startswith("rtl_tcp://"):
+        from dabjax.io.rtl_tcp import RtlTcpSource
+        host, _, port = spec[len("rtl_tcp://"):].partition(":")
+        return RtlTcpSource(host, int(port or 1234))
+    ext = os.path.splitext(spec)[1].lower()
+    if ext == ".raw":
+        return sources.RawFileSource(spec, loop=False)
+    if ext in (".sdr", ".wav"):
+        return sources.WavFileSource(spec, loop=False)
+    raise SystemExit(f"unrecognized source: {spec}")
+
+
+def _build_receiver(args, service: Optional[str] = None):
+    from dabjax.runtime.config import ReceiverConfig
+    from dabjax.runtime.receiver import Receiver
+    cfg = ReceiverConfig(mode=args.mode, service=service)
+    return Receiver(open_source(args.source), cfg)
+
+
+def _print_db(r) -> None:
+    db = r.db
+    print(f"ensemble: {db.ensemble_label!r} (EId {db.ensemble_id:04X})  "
+          f"{r.metrics.dashboard()}")
+    for svc in db.services.values():
+        if not svc.has_label:
+            continue
+        ad = db.data_for_audio_service(svc.label)
+        if ad is not None:
+            kind = "DAB+" if ad.is_dab_plus else "DAB"
+            print(f"  {svc.label:<16} SId={svc.sid:04X} {kind:>6} "
+                  f"{ad.bitrate:3d}kbps subch={ad.subch_id:2d} "
+                  f"start={ad.start_addr:3d} len={ad.length:3d}CU")
+            continue
+        pd = db.data_for_data_service(svc.label)
+        if pd is not None:
+            print(f"  {svc.label:<16} SId={svc.sid:04X} packet "
+                  f"DSCTy={pd.dscty} subch={pd.subch_id:2d} "
+                  f"addr={pd.packet_address}")
+
+
+def cmd_info(args) -> int:
+    r = _build_receiver(args)
+    r.run(args.blocks)
+    if not r.metrics.synced:
+        print("no DAB signal found")
+        return 1
+    _print_db(r)
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from dabjax.io.audio_out import WavSink
+    from dabjax.audio.aac import sample_rate as aac_rate
+    r = _build_receiver(args, service=args.service)
+    r.run(args.blocks)
+    if not r.metrics.synced:
+        print("no DAB signal found")
+        return 1
+    _print_db(r)
+    rc = 1
+    for subch_id, svc in r.audio.items():
+        rc = 0
+        if svc.pcm:
+            rate = (svc.mp2.sample_rate if svc.mp2 is not None
+                    else aac_rate(svc.superframe.header.dac_rate,
+                                  svc.superframe.header.sbr_flag))
+            out = args.out or "audio.wav"
+            with WavSink(out) as w:
+                w.write(np.concatenate(svc.pcm), rate)
+            print(f"subch {subch_id}: wrote {w.frames_written} PCM frames "
+                  f"-> {out}")
+        elif svc.is_dab_plus and svc.aac.aus:
+            out = (args.out or "audio.aus")
+            with open(out, "wb") as f:
+                for au in svc.aac.aus:
+                    f.write(au)
+            print(f"subch {subch_id}: wrote {len(svc.aac.aus)} AAC AUs "
+                  f"-> {out} (no host AAC codec in this image)")
+        if svc.dynamic_label:
+            print(f"subch {subch_id}: dynamic label: {svc.dynamic_label!r}")
+        for obj in svc.slides:
+            path = f"slide_{obj.transport_id:04x}_{obj.name or 'unnamed'}"
+            with open(path, "wb") as f:
+                f.write(obj.body)
+            print(f"subch {subch_id}: MOT slide -> {path}")
+    for subch_id, h in r.data_handlers.items():
+        rc = 0
+        objs = getattr(getattr(h, "handler", None), "objects", [])
+        for obj in objs:
+            path = f"mot_{obj.transport_id:04x}_{obj.name or 'unnamed'}"
+            with open(path, "wb") as f:
+                f.write(obj.body)
+            print(f"subch {subch_id}: MOT object -> {path}")
+        if hasattr(h, "error_rate"):
+            print(f"subch {subch_id}: packet error rate "
+                  f"{100 * h.error_rate:.1f}%")
+    if args.json:
+        print(json.dumps(r.metrics.as_dict()))
+    return rc
+
+
+def cmd_scan(args) -> int:
+    """Band scan over channel=file pairs (the No_Signal_Found loop)."""
+    found = 0
+    for pair in args.channels:
+        chan, _, path = pair.partition("=")
+        from dabjax.runtime.config import ReceiverConfig
+        from dabjax.runtime.receiver import Receiver
+        try:
+            src = open_source(path)
+        except SystemExit:
+            print(f"{chan:>4}: unreadable source {path}")
+            continue
+        r = Receiver(src, ReceiverConfig(mode=args.mode))
+        r.run(args.blocks)
+        if r.metrics.synced and r.db.ensemble_label:
+            n = len([s for s in r.db.services.values() if s.has_label])
+            print(f"{chan:>4}: {r.db.ensemble_label!r} ({n} services, "
+                  f"SNR {r.metrics.snr_db:.1f} dB)")
+            found += 1
+        else:
+            print(f"{chan:>4}: no signal")
+    return 0 if found else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="dabjax", description="TPU-native DAB/DAB+ receiver")
+    ap.add_argument("-M", "--mode", type=int, default=1,
+                    help="DAB transmission mode (1/2/4)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="list ensemble services")
+    p.add_argument("source")
+    p.add_argument("--blocks", type=int, default=4)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("decode", help="decode service(s) to audio/files")
+    p.add_argument("source")
+    p.add_argument("--service", default=None,
+                   help="service label (default: all)")
+    p.add_argument("--out", default=None, help="output WAV/AU path")
+    p.add_argument("--blocks", type=int, default=16)
+    p.add_argument("--json", action="store_true",
+                   help="print metrics as JSON")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("scan", help="scan channel=file pairs")
+    p.add_argument("channels", nargs="+", metavar="CHAN=FILE")
+    p.add_argument("--blocks", type=int, default=3)
+    p.set_defaults(fn=cmd_scan)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

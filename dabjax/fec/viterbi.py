@@ -29,7 +29,8 @@ import numpy as np
 
 from dabjax.fec import conv
 
-__all__ = ["viterbi_decode_np", "viterbi_decode_jax", "branch_signs"]
+__all__ = ["viterbi_decode_np", "viterbi_decode_jax", "viterbi_decode",
+           "branch_signs"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,6 +89,16 @@ def viterbi_decode_np(soft: np.ndarray, nbits: int) -> np.ndarray:
             decisions[..., t, :], state[..., None], axis=-1)[..., 0]
         state = (state >> 1) | (d.astype(np.int64) << 5)
     return out[..., :nbits]
+
+
+def viterbi_decode(soft, nbits: int):
+    """Backend-dispatching decode: Pallas MXU kernel on TPU, lax.scan
+    elsewhere.  Identical results (both bit-exact vs viterbi_decode_np)."""
+    import jax
+    if jax.default_backend() != "cpu":
+        from dabjax.fec.viterbi_pallas import viterbi_decode_pallas
+        return viterbi_decode_pallas(soft, nbits)
+    return viterbi_decode_jax(soft, nbits)
 
 
 def viterbi_decode_jax(soft, nbits: int):

@@ -160,6 +160,10 @@ class EnsembleDB:
         self.components: List[ServiceComponent] = []
         self.datetime: Optional[Tuple[int, ...]] = None
         self.cif_count: int = -1
+        self.lto_halfhours: int = 0
+        self.linkage_sets: set = set()
+        self.announcements: Dict[int, int] = {}
+        self.active_announcements: Dict[int, Tuple[int, int]] = {}
 
     # ------------------------------------------------------------- ingest
 
@@ -297,6 +301,53 @@ class EnsembleDB:
             else:
                 used += 3
 
+    def _fig0_6(self, d: _Bits, figlen: int, pd: int):
+        # service linking info: parse-and-skip, recording linkage set
+        # numbers (fib-processor.cpp:489-528 skips entirely)
+        used = 2
+        while used < figlen:
+            off = used * 8
+            id_list = d.u(off, 1)
+            ils = d.u(off + 3, 1)
+            lsn = d.u(off + 4, 12)
+            self.linkage_sets.add(lsn)
+            if id_list == 0:
+                off += 16
+            else:
+                nids = d.u(off + 20, 4)
+                if pd == 0 and ils == 0:
+                    off += 16 + 4 + 5 + nids * 16
+                elif pd == 0:
+                    off += 16 + 4 + 4 + nids * 24
+                else:
+                    off += 16 + 4 + 4 + nids * 32
+            prev, used = used, off // 8
+            if used <= prev:
+                break
+
+    def _fig0_8(self, d: _Bits, figlen: int, pd: int):
+        # service component global definition: parse-and-skip
+        # (fib-processor.cpp:530-578)
+        used = 2
+        while used < figlen:
+            off = used * 8
+            off += 32 if pd else 16
+            ext_flag = d.u(off, 1)
+            off += 8
+            ls_flag = d.u(off + 8, 1)
+            off += 16 if ls_flag else 8
+            if ext_flag:
+                off += 8
+            used = off // 8
+
+    def _fig0_9(self, d: _Bits, figlen: int, pd: int):
+        # local time offset (fib-processor.cpp:582-589): half-hours
+        # relative to UTC, sign bit first
+        off = 16
+        sign = d.u(off + 2, 1)
+        halves = d.u(off + 3, 4)
+        self.lto_halfhours = -halves if sign else halves
+
     def _fig0_10(self, d: _Bits, figlen: int, pd: int):
         # date & time via MJD (fib-processor.cpp:591-627)
         off = 16
@@ -348,6 +399,46 @@ class EnsembleDB:
             sc = self.subchannels.get(subch_id)
             if sc is not None:
                 sc.fec_scheme = scheme
+
+    def _fig0_16(self, d: _Bits, figlen: int, pd: int):
+        # programme number (fib-processor.cpp:706-722)
+        off = 16
+        while off < figlen * 8:
+            sid = d.u(off, 16)
+            svc = self.services.setdefault(sid, Service(sid=sid))
+            if svc.pnum < 0:
+                svc.pnum = d.u(off + 16, 16)
+            off += 72
+
+    def _fig0_18(self, d: _Bits, figlen: int, pd: int):
+        # announcement support (fib-processor.cpp:750-764): record flags
+        off = 16
+        while off // 8 < figlen - 1:
+            sid = d.u(off, 16)
+            asu_flags = d.u(off + 16, 16)
+            n_clusters = d.u(off + 35, 5)
+            self.announcements[sid] = asu_flags
+            off += 40 + n_clusters * 8
+
+    def _fig0_19(self, d: _Bits, figlen: int, pd: int):
+        # announcement switching (fib-processor.cpp:766-797): record the
+        # active cluster -> subchannel mapping
+        off = 16
+        while off // 8 < figlen - 1:
+            cluster = d.u(off, 8)
+            asw_flags = d.u(off + 8, 16)
+            region_flag = d.u(off + 25, 1)
+            subch_id = d.u(off + 26, 6)
+            self.active_announcements[cluster] = (asw_flags, subch_id)
+            off += 40 if region_flag else 32
+
+    def _fig0_21(self, d: _Bits, figlen: int, pd: int):
+        # frequency information: parse-and-discard (fib-processor.cpp:799+)
+        pass
+
+    def _fig0_22(self, d: _Bits, figlen: int, pd: int):
+        # TII transmitter coordinates: parse-and-discard
+        pass
 
     def _fig0_17(self, d: _Bits, figlen: int, pd: int):
         # program type (fib-processor.cpp FIG0Extension17)

@@ -50,7 +50,7 @@ def decode_fic(fic_soft: jnp.ndarray, p: DabParams
     cw = fic_soft.reshape(F, n_cw, 2304)
     mask = _fic_mask_indices()
     full = puncture.depuncture(cw, mask)               # [F, n_cw, 3096]
-    bits = viterbi.viterbi_decode_jax(full, 768)       # [F, n_cw, 768]
+    bits = viterbi.viterbi_decode(full, 768)           # [F, n_cw, 768]
     bits = prbs.disperse(bits)                         # energy dispersal
     fibs = bits.reshape(F, n_cw * 3, 256)
     ok = check_crc16_bits(fibs, inverted=True)

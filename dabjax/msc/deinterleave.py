@@ -27,13 +27,14 @@ HISTORY = 15
 def time_deinterleave(subch_soft: jnp.ndarray) -> jnp.ndarray:
     """De-interleave a block of consecutive CIF slices of one subchannel.
 
-    ``subch_soft``: [T, n_bits] soft bits, T consecutive CIFs (T > 15).
-    Returns [T - 15, n_bits]: output t corresponds to input CIF t + 15
+    ``subch_soft``: [..., T, n_bits] soft bits, T consecutive CIFs (T > 15);
+    leading batch dims (e.g. subchannels) pass through.
+    Returns [..., T - 15, n_bits]: output t corresponds to input CIF t + 15
     (fully primed; logical frame t+15's output mixes inputs t..t+15).
     """
-    T, n = subch_soft.shape
+    T, n = subch_soft.shape[-2:]
     delays = DELAYS[np.arange(n) & 15]          # [n]
     # out[t, i] = in[t + 15 - delays[i], i]
     t_idx = (np.arange(T - HISTORY)[:, None] + (HISTORY - delays)[None, :])
     col = np.broadcast_to(np.arange(n)[None, :], t_idx.shape)
-    return subch_soft[t_idx, col]
+    return subch_soft[..., t_idx, col]

@@ -66,9 +66,10 @@ def decode_subchannel(subch_soft: jnp.ndarray, g: SubchGeometry,
                       deinterleave: bool = True) -> jnp.ndarray:
     """Decode one subchannel's CIF slices.
 
-    ``subch_soft``: [T, length_cus*64] soft bits for T consecutive CIFs.
-    Returns [T - 15, 24*bitrate] decoded logical-frame bits (int32), after
-    time de-interleave, depuncture, Viterbi and energy dispersal
+    ``subch_soft``: [..., T, length_cus*64] soft bits for T consecutive
+    CIFs (leading dims batch, e.g. over subchannels of one bucket).
+    Returns [..., T - 15, 24*bitrate] decoded logical-frame bits (int32),
+    after time de-interleave, depuncture, Viterbi and energy dispersal
     (dab-concurrent.cpp:144-193 semantics; output CIF index t+15
     corresponds to transmitted logical frame t).
     """
@@ -76,7 +77,7 @@ def decode_subchannel(subch_soft: jnp.ndarray, g: SubchGeometry,
     soft = time_deinterleave(subch_soft) if deinterleave else subch_soft
     tx = soft[..., : int(mask.sum())]        # drop UEP padding bits
     full = puncture.depuncture(tx, mask)
-    bits = viterbi.viterbi_decode_jax(full, 24 * g.bitrate)
+    bits = viterbi.viterbi_decode(full, 24 * g.bitrate)
     return prbs.disperse(bits)
 
 
@@ -104,8 +105,7 @@ class EnsembleDecoder:
 
             @jax.jit
             def run(stacked):  # [n_subch, T, length*64]
-                return jax.vmap(
-                    lambda s: decode_subchannel(s, proto))(stacked)
+                return decode_subchannel(stacked, proto)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]

@@ -77,8 +77,7 @@ def sharded_ensemble_step(mesh: Mesh, p: DabParams, proto: SubchGeometry):
                + starts_loc[:, None] * CU_BITS)
         slices = jnp.take(block, idx, axis=1)       # [T_loc+15, S_loc, bits]
         slices = jnp.swapaxes(slices, 0, 1)          # [S_loc, T_loc+15, bits]
-        bits = jax.vmap(
-            lambda s: decode_subchannel(s, proto))(slices)
+        bits = decode_subchannel(slices, proto)
         return fic_ratio, bits
 
     mapped = jax.shard_map(

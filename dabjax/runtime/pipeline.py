@@ -56,7 +56,7 @@ def full_ensemble_pipeline(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
         cifs = cifs_from_soft(soft, p)
         idx = starts[:, None] + np.arange(n_bits)[None, :]
         slices = cifs[:, idx].transpose(1, 0, 2)       # [n_subch, T, bits]
-        bits = jax.vmap(lambda s: decode_subchannel(s, proto))(slices)
+        bits = decode_subchannel(slices, proto)
         return ok, bits
 
     return fn

@@ -1,0 +1,105 @@
+"""CLI surface tests: info / decode / scan over a recorded .raw ensemble
+(the GUI-replacement control plane)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dabjax.audio.mp2 import Mp2Encoder
+from dabjax.cli import main
+from dabjax.io.audio_out import WavSink, low_pass_fir, resample_to_48k
+from dabjax.runtime.channels import BAND_III, L_BAND, frequency_khz
+from dabjax.tx.fig import ServiceSpec
+from dabjax.tx.modulator import Modulator
+
+BITRATE = 96
+
+
+def _mp2_payload(n=40):
+    enc = Mp2Encoder(bitrate=BITRATE, mode=3)
+    t = np.arange(1152 * n) / 48000
+    sig = 0.4 * np.sin(2 * np.pi * 660 * t)
+    frames = [np.unpackbits(np.frombuffer(
+        enc.encode(sig[i * 1152:(i + 1) * 1152]), np.uint8))
+        for i in range(n)]
+    return lambda ci: frames[ci % n]
+
+
+@pytest.fixture(scope="module")
+def raw_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("iq")
+    services = [ServiceSpec(label="CLITEST", sid=0x3001, subch_id=3,
+                            start_addr=0, bitrate=BITRATE,
+                            protection="EEP-A", prot_level=3, kind="DAB")]
+    mod = Modulator(mode=1, services=services,
+                    payloads={3: _mp2_payload()}, amplitude=0.3)
+    iq = mod.iq(10, snr_db=40.0)
+    u8 = np.empty(2 * iq.shape[0], np.uint8)
+    u8[0::2] = np.clip(np.real(iq) * 128 + 128, 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.imag(iq) * 128 + 128, 0, 255).astype(np.uint8)
+    path = d / "ensemble.raw"
+    path.write_bytes(u8.tobytes())
+    return str(path)
+
+
+def test_cli_info(raw_file, capsys):
+    rc = main(["info", raw_file, "--blocks", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "DABJAX ENSEMBLE" in out
+    assert "CLITEST" in out and "96kbps" in out
+
+
+def test_cli_decode_to_wav(raw_file, capsys, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out_wav = str(tmp_path / "out.wav")
+    rc = main(["decode", raw_file, "--service", "CLITEST",
+               "--out", out_wav, "--blocks", "2", "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert os.path.exists(out_wav)
+    assert "wrote" in out and "PCM frames" in out
+    import wave
+    with wave.open(out_wav) as w:
+        assert w.getframerate() == 48000
+        assert w.getnchannels() == 2
+        assert w.getnframes() > 10000
+
+
+def test_cli_scan(raw_file, capsys):
+    rc = main(["scan", f"12C={raw_file}", "5A=null", "--blocks", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "12C" in out and "DABJAX ENSEMBLE" in out
+    assert "5A: no signal" in out
+
+
+def test_channel_tables():
+    assert frequency_khz("5A") == 174928
+    assert frequency_khz("13F") == 239200
+    assert frequency_khz("LA") == 1452960
+    assert frequency_khz("LP") == 1478640
+    assert len(BAND_III) == 38 and len(L_BAND) == 16
+
+
+def test_fir_and_resampler():
+    taps = low_pass_fir(65, 8000, 48000)
+    assert abs(taps.sum() - 1.0) < 1e-5
+    # 24 kHz tone content preserved through 24k->48k resample
+    t = np.arange(2400) / 24000
+    x = np.sin(2 * np.pi * 1000 * t)[:, None]
+    y = resample_to_48k(np.repeat(x, 2, axis=1), 24000)
+    assert y.shape == (4800, 2)
+    spec = np.abs(np.fft.rfft(y[:, 0] * np.hanning(4800)))
+    assert abs(np.argmax(spec) * 48000 / 4800 - 1000) < 30
+
+
+def test_wav_sink_mono_and_rates(tmp_path):
+    p = str(tmp_path / "t.wav")
+    with WavSink(p) as w:
+        w.write(np.zeros(2400, np.float32), rate=24000)   # mono 24k
+        w.write(np.zeros((480, 2), np.int16))             # stereo 48k int16
+    import wave
+    with wave.open(p) as f:
+        assert f.getnframes() == 4800 + 480

@@ -1,0 +1,42 @@
+"""Pallas Viterbi kernel vs the numpy reference decoder (interpret mode on
+the CPU mesh; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+from dabjax.fec import conv
+from dabjax.fec.viterbi import viterbi_decode_np
+from dabjax.fec.viterbi_pallas import viterbi_decode_pallas
+
+
+@pytest.mark.parametrize("nbits,shape", [
+    (768, (4,)),          # FIC codewords
+    (2304, (3, 2)),       # MSC 96 kbps, [subch, frames]
+    (100, ()),            # unbatched
+])
+def test_pallas_matches_numpy(nbits, shape):
+    rng = np.random.default_rng(nbits)
+    bits = rng.integers(0, 2, shape + (nbits,), np.uint8)
+    coded = np.apply_along_axis(conv.encode, -1, bits) if bits.ndim > 1 \
+        else (conv.encode(bits) if bits.ndim == 1 else
+              conv.encode(bits[None])[0])
+    soft = (coded.astype(np.float32) * 2 - 1) * 100
+    soft += np.round(rng.standard_normal(soft.shape) * 40).astype(np.float32)
+    want = viterbi_decode_np(soft, nbits)
+    got = np.asarray(viterbi_decode_pallas(soft, nbits, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(want, bits)     # noise within margin
+
+
+def test_pallas_punctured_positions():
+    # zeros at punctured positions ("do not know") decode like the scan path
+    rng = np.random.default_rng(7)
+    nbits = 768
+    bits = rng.integers(0, 2, (2, nbits), np.uint8)
+    coded = np.stack([conv.encode(b) for b in bits]).astype(np.float32)
+    soft = (coded * 2 - 1) * 127
+    mask = rng.random(soft.shape) < 0.3           # 30% punctured
+    soft[mask] = 0.0
+    want = viterbi_decode_np(soft, nbits)
+    got = np.asarray(viterbi_decode_pallas(soft, nbits, interpret=True))
+    np.testing.assert_array_equal(got, want)
