@@ -35,6 +35,9 @@ def open_source(spec: str):
         return RtlTcpSource(host, int(port or 1234))
     ext = os.path.splitext(spec)[1].lower()
     if ext == ".raw":
+        from dabjax.io import native
+        if native.native_available():
+            return native.NativeFileSource(spec)   # C++ feeder thread
         return sources.RawFileSource(spec, loop=False)
     if ext in (".sdr", ".wav"):
         return sources.WavFileSource(spec, loop=False)

@@ -7,7 +7,7 @@ The reference surfaces these through Qt LCD widgets (gui.cpp:998-1025,
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Dict, Optional
 
 
 @dataclasses.dataclass
@@ -29,6 +29,9 @@ class Metrics:
     packet_crc_bad: int = 0
     rs_corrected: int = 0
     samples_processed: int = 0
+    # scope taps (numpy arrays; excluded from as_dict)
+    spectrum: Optional[object] = None        # [T_u] mean |PRS spectrum|
+    constellation: Optional[object] = None   # [K] complex DQPSK points
 
     @property
     def fic_ratio(self) -> float:
@@ -46,4 +49,7 @@ class Metrics:
             f"mp2={self.mp2_frames_ok} rs_fix={self.rs_corrected}")
 
     def as_dict(self) -> Dict[str, float]:
-        return dataclasses.asdict(self) | {"fic_ratio": self.fic_ratio}
+        d = {f.name: getattr(self, f.name)
+             for f in dataclasses.fields(self)
+             if f.name not in ("spectrum", "constellation")}
+        return d | {"fic_ratio": self.fic_ratio}

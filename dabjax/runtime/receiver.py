@@ -149,7 +149,12 @@ class Receiver:
             # per-frame PRS timing: correlate frame 0's window
             imp = acquisition.prs_correlate(rows[:1, : p.T_u], p)
             t_off = jnp.argmax(imp, axis=-1)
-            return soft, snr, fine, coarse, fibs, fic_ok, t_off
+            # scopes: mean PRS magnitude spectrum (fftshifted) + the
+            # constellation of the first data symbol (ofdm-decoder's IQ
+            # scope feed, every 8th frame -> here once per block)
+            spectrum = jnp.mean(
+                jnp.abs(jnp.roll(spec0, p.T_u // 2, axis=-1)), axis=0)
+            return soft, snr, fine, coarse, fibs, fic_ok, t_off, spectrum
 
         return block
 
@@ -212,11 +217,18 @@ class Receiver:
             self._buf[base + f * p.T_F: base + f * p.T_F + need]
             for f in range(F)])
 
-        soft, snr, fine, coarse, fibs, fic_ok, t_off = self._block_fn(
+        (soft, snr, fine, coarse, fibs, fic_ok, t_off,
+         spectrum) = self._block_fn(
             jnp.asarray(rows), jnp.float32(self._coarse_hz))
         soft = np.asarray(soft)
         fic_ok = np.asarray(fic_ok)
         fibs_np = np.asarray(fibs)
+        # scope taps (SURVEY.md §2.4: spectrum waterfall + IQ display)
+        self.metrics.spectrum = np.asarray(spectrum)
+        k = self.p.K
+        self.metrics.constellation = (
+            -soft[0, self.p.fic_symbols, :k]
+            - 1j * soft[0, self.p.fic_symbols, k:]) / 127.0
 
         # ----- metrics + correctors
         self.metrics.frames += F

@@ -103,3 +103,17 @@ def test_wav_sink_mono_and_rates(tmp_path):
     import wave
     with wave.open(p) as f:
         assert f.getnframes() == 4800 + 480
+
+
+def test_native_io_source(raw_file):
+    from dabjax.io.native import (FORMAT_U8, NativeFileSource,
+                                  native_available)
+    from dabjax.io.sources import RawFileSource
+    if not native_available():
+        pytest.skip("no native toolchain")
+    nat = NativeFileSource(raw_file, FORMAT_U8)
+    ref = RawFileSource(raw_file, loop=False)
+    a = nat.read(300000)
+    b = ref.read(300000)
+    np.testing.assert_array_equal(a, b)
+    nat.close()
