@@ -128,6 +128,10 @@ class Receiver:
         self._hist_valid = 0        # CIFs of real history accumulated
         self._decoder: Optional[EnsembleDecoder] = None
         self._decoder_key = None
+        self._iq_dump = None
+        if self.cfg.dump_iq_path:
+            from dabjax.io.iq_dump import IqDumpWriter
+            self._iq_dump = IqDumpWriter(self.cfg.dump_iq_path)
         self._block_fn = self._build_block_fn()
 
     # ------------------------------------------------------------- device
@@ -216,6 +220,8 @@ class Receiver:
         rows = np.stack([
             self._buf[base + f * p.T_F: base + f * p.T_F + need]
             for f in range(F)])
+        if self._iq_dump is not None:        # raw-IQ tap at pipeline input
+            self._iq_dump.write(self._buf[base: base + F * p.T_F])
 
         (soft, snr, fine, coarse, fibs, fic_ok, t_off,
          spectrum) = self._block_fn(
@@ -344,3 +350,8 @@ class Receiver:
             if not self.step():
                 break
         return self.metrics
+
+    def close(self) -> None:
+        if self._iq_dump is not None:
+            self._iq_dump.close()
+            self._iq_dump = None

@@ -117,3 +117,24 @@ def test_native_io_source(raw_file):
     b = ref.read(300000)
     np.testing.assert_array_equal(a, b)
     nat.close()
+
+
+def test_iq_dump_record_replay(raw_file, tmp_path):
+    """Closed loop: record -> replay -> compare (SURVEY.md §4)."""
+    from dabjax.io.sources import WavFileSource
+    from dabjax.runtime.config import ReceiverConfig
+    from dabjax.runtime.receiver import Receiver
+    from dabjax.cli import open_source
+
+    dump = str(tmp_path / "tap.sdr")
+    r1 = Receiver(open_source(raw_file),
+                  ReceiverConfig(dump_iq_path=dump, frames_per_block=2))
+    r1.run(3)
+    r1.close()
+    assert r1.metrics.fic_ratio == 1.0
+
+    r2 = Receiver(WavFileSource(dump, loop=False), ReceiverConfig())
+    r2.run(2)
+    assert r2.metrics.synced
+    assert r2.metrics.fic_ratio == 1.0
+    assert "CLITEST" in r2.db.service_labels()
