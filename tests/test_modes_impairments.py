@@ -1,0 +1,72 @@
+"""Mode II/IV receivers + channel impairments (CFO, noise, timing offset)
+through the full Receiver — the sync-robustness behaviors of
+ofdm-processor.cpp's state machine, exercised block-batched."""
+
+import numpy as np
+import pytest
+
+from dabjax.io.sources import SyntheticSource
+from dabjax.runtime.config import ReceiverConfig
+from dabjax.runtime.receiver import Receiver
+from dabjax.tx.fig import ServiceSpec
+from dabjax.tx.modulator import Modulator
+
+SVC = dict(sid=0x2001, subch_id=1, start_addr=0, bitrate=64,
+           protection="EEP-A", prot_level=2, kind="DAB+")
+
+
+def _rx(mode, n_blocks=3, **iq_kw):
+    services = [ServiceSpec(label="MODETEST", **SVC)]
+    mod = Modulator(mode=mode, services=services)
+    src = SyntheticSource(mod, **iq_kw)
+    r = Receiver(src, ReceiverConfig(mode=mode, frames_per_block=4,
+                                     decode_audio=False))
+    r.run(n_blocks)
+    return r
+
+
+@pytest.mark.parametrize("mode", [1, 2, 4])
+def test_modes_fic_clean(mode):
+    r = _rx(mode, snr_db=30.0, lead_in=2500)
+    assert r.metrics.synced
+    assert r.metrics.fic_ratio == 1.0, r.metrics.dashboard()
+    assert "MODETEST" in r.db.service_labels()
+
+
+def test_low_snr_fic():
+    r = _rx(1, snr_db=8.0, lead_in=777)
+    assert r.metrics.synced
+    assert r.metrics.fic_ratio > 0.9, r.metrics.dashboard()
+
+
+def test_fine_cfo_correction():
+    # +400 Hz CFO: inside the fine corrector's +-carrier_diff/2 pull range
+    r = _rx(1, snr_db=30.0, lead_in=1234, cfo_hz=400.0)
+    assert r.metrics.synced
+    assert r.metrics.fic_ratio == 1.0, r.metrics.dashboard()
+    assert abs(r.metrics.fine_cfo_hz - 400.0) < 50.0
+
+
+def test_coarse_cfo_correction():
+    # 5 carriers + 300 Hz off: needs the coarse corrector (ofdm-decoder
+    # freqSyncMethod analog) plus fine pull-in
+    r = _rx(1, n_blocks=4, snr_db=30.0, lead_in=999,
+            cfo_hz=5 * 1000.0 + 300.0)
+    assert r.metrics.synced
+    # after the first block the coarse corrector locks; later FIBs pass
+    assert r.metrics.fic_crc_ok > 0, r.metrics.dashboard()
+    assert abs(r.metrics.coarse_cfo_hz - 5000.0) < 1200.0
+
+
+def test_spectrum_and_constellation_taps():
+    r = _rx(1, snr_db=30.0, lead_in=100)
+    assert r.metrics.spectrum is not None
+    assert r.metrics.spectrum.shape == (2048,)
+    # in-band energy well above out-of-band
+    s = r.metrics.spectrum
+    assert np.mean(s[2048 // 2 - 384: 2048 // 2 + 384]) > \
+        5 * np.mean(s[:256])
+    c = r.metrics.constellation
+    assert c.shape == (1536,)
+    # DQPSK points cluster at the four diagonals
+    assert np.all(np.abs(np.abs(np.real(c)) - 0.707) < 0.35)
