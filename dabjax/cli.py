@@ -47,7 +47,14 @@ def open_source(spec: str):
 def _build_receiver(args, service: Optional[str] = None):
     from dabjax.runtime.config import ReceiverConfig
     from dabjax.runtime.receiver import Receiver
-    cfg = ReceiverConfig(mode=args.mode, service=service)
+    if getattr(args, "config", None):
+        cfg = ReceiverConfig.load(args.config)
+        cfg.mode = args.mode
+    else:
+        cfg = ReceiverConfig(mode=args.mode)
+    cfg.service = service
+    if getattr(args, "save_config", None):
+        cfg.save(args.save_config)
     return Receiver(open_source(args.source), cfg)
 
 
@@ -162,6 +169,10 @@ def main(argv=None) -> int:
         prog="dabjax", description="TPU-native DAB/DAB+ receiver")
     ap.add_argument("-M", "--mode", type=int, default=1,
                     help="DAB transmission mode (1/2/4)")
+    ap.add_argument("-i", "--config", default=None,
+                    help="load receiver config JSON (the ini-file analog)")
+    ap.add_argument("--save-config", default=None,
+                    help="write the effective config to JSON")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("info", help="list ensemble services")

@@ -23,3 +23,17 @@ class ReceiverConfig:
     scan_attempts: int = 5           # no-signal attempts before giving up
     dump_iq_path: Optional[str] = None     # raw-IQ tap (ofdm-processor dump)
     dump_audio_path: Optional[str] = None  # PCM tap (audiosink dump)
+
+    def save(self, path: str) -> None:
+        """Persist to JSON (the ~/.jsdr-dab.ini analog, gui.cpp:274-283)."""
+        import json
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "ReceiverConfig":
+        import json
+        with open(path) as f:
+            data = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in known})

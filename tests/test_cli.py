@@ -138,3 +138,15 @@ def test_iq_dump_record_replay(raw_file, tmp_path):
     assert r2.metrics.synced
     assert r2.metrics.fic_ratio == 1.0
     assert "CLITEST" in r2.db.service_labels()
+
+
+def test_config_roundtrip(raw_file, tmp_path, capsys):
+    cfg_path = str(tmp_path / "cfg.json")
+    rc = main(["--save-config", cfg_path, "info", raw_file,
+               "--blocks", "2"])
+    assert rc == 0
+    from dabjax.runtime.config import ReceiverConfig
+    cfg = ReceiverConfig.load(cfg_path)
+    assert cfg.mode == 1 and cfg.frames_per_block == 4
+    rc = main(["-i", cfg_path, "info", raw_file, "--blocks", "2"])
+    assert rc == 0
