@@ -87,7 +87,7 @@ def _traceback_kernel(T, TC, n_chunks):
 
     def kernel(dec_ref, bits_ref, state_ref):
         # dec_ref [TC, 64, B] int8 (reverse chunk order); bits_ref [TC, B]
-        # state_ref [1, B] int32 scratch (shift register of decoded bits)
+        # int32; state_ref [1, B] int32 scratch (shift register of bits)
         B = state_ref.shape[1]
 
         @pl.when(pl.program_id(0) == 0)
@@ -95,13 +95,18 @@ def _traceback_kernel(T, TC, n_chunks):
             state_ref[:] = jnp.zeros((1, B), jnp.int32)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
+        trows = jax.lax.broadcasted_iota(jnp.int32, (TC, B), 0)
 
         def body(i, _):
             t = TC - 1 - i
             d = dec_ref[t].astype(jnp.int32)          # [64, B]
             mask = (rows == state_ref[:]).astype(jnp.int32)
             sel = jnp.sum(mask * d, axis=0, keepdims=True)   # [1, B]
-            bits_ref[t] = (state_ref[:] & 1).astype(jnp.int8)[0]
+            # Mosaic cannot prove an int8/int32 vector store at a dynamic
+            # sublane index is tile-aligned, so write row t as a masked
+            # full-tile update instead of bits_ref[t] = ...
+            bits_ref[:] = jnp.where(trows == t, state_ref[:] & 1,
+                                    bits_ref[:])
             state_ref[:] = (state_ref[:] >> 1) | (sel << 5)
             return 0
 
@@ -131,6 +136,11 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 128,
     lead = soft.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
     Bp = _round_up(max(B, 1), _LANES)
+    # Shrink the time chunk for wide batches: VMEM per grid step is
+    # ~(soft f32 + dec int8) * chunk * Bp double-buffered; keep
+    # chunk*Bp <= 64Ki lanes*steps (~8.5 MB) under the 16 MB scoped limit.
+    while chunk > 8 and chunk * Bp > 64 * 1024:
+        chunk //= 2
     Tp = _round_up(T, chunk)
     n_chunks = Tp // chunk
 
@@ -172,7 +182,7 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 128,
         out_specs=pl.BlockSpec((chunk, Bp),
                                lambda i, n=n_chunks: (n - 1 - i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, Bp), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((Tp, Bp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, Bp), jnp.int32)],
         interpret=interpret,
     )(dec)

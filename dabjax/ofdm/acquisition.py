@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dabjax.constants import DabParams
+from dabjax.iq import device_complex
 from dabjax.ofdm import tables
 
 __all__ = ["moving_average_envelope", "find_null", "prs_correlate",
@@ -86,9 +87,9 @@ def prs_correlate(windows: jnp.ndarray, p: DabParams) -> jnp.ndarray:
     (phasereference.cpp:60-80: FFT, multiply by conj(ref), IFFT).
     """
     spec = jnp.fft.fft(windows, axis=-1)
-    ref = jnp.asarray(
+    ref = device_complex(
         np.conj(np.fft.fft(np.fft.ifft(
-            tables.phase_ref_bins(p.mode, p.T_u, p.K)))).astype(np.complex64))
+            tables.phase_ref_bins(p.mode, p.T_u, p.K)))))
     return jnp.abs(jnp.fft.ifft(spec * ref, axis=-1))
 
 
@@ -118,14 +119,14 @@ def acquire(x: np.ndarray, p: DabParams, threshold: float = 3.0
     need = p.T_F + p.T_null + p.T_u
     if x.shape[-1] < need:
         return None
-    xb = jnp.asarray(x[:need])
+    xb = device_complex(x[:need])
     null_end, found = find_null(xb, p)
     if not float(found):
         return None
     # null_end points at the envelope rise, which lags the true PRS start by
     # up to the 50-sample window; search a T_u window starting slightly back.
     base = max(int(null_end) - _ENV_WIN, 0)
-    win = jnp.asarray(x[base: base + p.T_u])
+    win = device_complex(x[base: base + p.T_u])
     start, ok = prs_sync(win[None, :], p, threshold)
     if not float(ok[0]):
         return None

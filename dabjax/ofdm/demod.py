@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dabjax.constants import DabParams
+from dabjax.iq import device_complex
 from dabjax.ofdm import tables
 
 __all__ = ["frame_window_index", "demodulate_frames", "snr_estimate",
@@ -125,7 +126,7 @@ def coarse_cfo_estimate(spectrum0: jnp.ndarray, p: DabParams,
     ref_c = np.roll(ref, T_u // 2)
     d_ref = ref_c[:-1] * np.conj(ref_c[1:])
     band = slice(T_u // 2 - K // 2, T_u // 2 + K // 2)
-    d_ref_band = jnp.asarray(d_ref[band], jnp.complex64)
+    d_ref_band = device_complex(d_ref[band])
 
     spec_c = jnp.roll(spectrum0, T_u // 2, axis=-1)
     d_rx = spec_c[..., :-1] * jnp.conj(spec_c[..., 1:])

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dabjax.constants import CU_BITS, DabParams
 from dabjax.fic.fic_decoder import decode_fic
+from dabjax.iq import pack_iq, unpack_iq
 from dabjax.msc.cif import cifs_from_soft
 from dabjax.msc.deinterleave import HISTORY
 from dabjax.msc.subchannel import SubchGeometry, decode_subchannel
@@ -53,7 +54,8 @@ def sharded_ensemble_step(mesh: Mesh, p: DabParams, proto: SubchGeometry):
     n_bits = proto.length_cus * CU_BITS
 
     def step(rows_loc, starts_loc):
-        # rows_loc: [F_loc, need]; starts_loc: [S_loc]
+        # rows_loc: [F_loc, need, 2] float IQ pairs; starts_loc: [S_loc]
+        rows_loc = unpack_iq(rows_loc)
         fine = demod.fine_cfo_estimate(rows_loc, p)
         rows_loc = demod.apply_cfo(rows_loc, fine)
         soft, _ = demod.demodulate_frames(rows_loc, p)
@@ -82,16 +84,17 @@ def sharded_ensemble_step(mesh: Mesh, p: DabParams, proto: SubchGeometry):
 
     mapped = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P("time", None), P("subch")),
+        in_specs=(P("time", None, None), P("subch")),
         out_specs=(P(), P("subch", "time", None)),
         check_vma=False)
     return jax.jit(mapped)
 
 
 def make_sharded_inputs(mesh: Mesh, rows: np.ndarray, starts: np.ndarray):
-    """Device-put inputs with the step's shardings."""
+    """Device-put inputs with the step's shardings (complex rows are
+    packed to float IQ pairs at the boundary)."""
     rows = jax.device_put(
-        rows, NamedSharding(mesh, P("time", None)))
+        jnp.asarray(pack_iq(rows)), NamedSharding(mesh, P("time", None, None)))
     starts = jax.device_put(
         jnp.asarray(starts, jnp.int32), NamedSharding(mesh, P("subch")))
     return rows, starts

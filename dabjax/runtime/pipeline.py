@@ -15,6 +15,7 @@ import numpy as np
 
 from dabjax.constants import DabParams, get_mode
 from dabjax.fic.fic_decoder import decode_fic
+from dabjax.iq import pack_iq, unpack_iq
 from dabjax.msc.cif import cifs_from_soft
 from dabjax.msc.subchannel import SubchGeometry, decode_subchannel
 from dabjax.ofdm import demod
@@ -23,10 +24,12 @@ __all__ = ["frame_pipeline", "full_ensemble_pipeline", "example_rows"]
 
 
 def frame_pipeline(p: DabParams):
-    """Frame demod + FIC decode: rows [F, need] -> (soft, fib_bits, crc_ok,
-    snr).  The single-chip forward step (BASELINE config 1)."""
+    """Frame demod + FIC decode: rows [F, need, 2] float32 IQ pairs ->
+    (soft, fib_bits, crc_ok, snr).  The single-chip forward step
+    (BASELINE config 1)."""
 
     def fn(rows):
+        rows = unpack_iq(rows)
         fine = demod.fine_cfo_estimate(rows, p)
         rows = demod.apply_cfo(rows, fine)
         soft, spec0 = demod.demodulate_frames(rows, p)
@@ -38,7 +41,8 @@ def frame_pipeline(p: DabParams):
 
 
 def full_ensemble_pipeline(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
-    """Full-ensemble decode: rows [F, need] -> FIC + every subchannel.
+    """Full-ensemble decode: rows [F, need, 2] float32 IQ pairs -> FIC +
+    every subchannel.
 
     All subchannels must share a geometry shape (callers bucket first, as
     EnsembleDecoder does); returns (fib_crc_ok, subch_bits[n_subch, T-15,
@@ -49,6 +53,7 @@ def full_ensemble_pipeline(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
     proto = geoms[0]
 
     def fn(rows):
+        rows = unpack_iq(rows)
         fine = demod.fine_cfo_estimate(rows, p)
         rows = demod.apply_cfo(rows, fine)
         soft, _ = demod.demodulate_frames(rows, p)
@@ -63,9 +68,9 @@ def full_ensemble_pipeline(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
 
 
 def example_rows(p: DabParams, n_frames: int = 2, seed: int = 0):
-    """Synthetic frame-aligned rows for compile checks (random IQ)."""
+    """Synthetic frame-aligned rows (float IQ pairs) for compile checks."""
     rng = np.random.default_rng(seed)
     need = demod.min_frame_samples(p)
     x = (rng.standard_normal((n_frames, need))
          + 1j * rng.standard_normal((n_frames, need))) / np.sqrt(2)
-    return jnp.asarray(x.astype(np.complex64))
+    return jnp.asarray(pack_iq(x))

@@ -32,6 +32,7 @@ from dabjax.audio.mp2 import Mp2Decoder
 from dabjax.audio.mp4 import SuperframeDecoder
 from dabjax.fic.fib import EnsembleDB
 from dabjax.fic.fic_decoder import decode_fic
+from dabjax.iq import pack_iq, unpack_iq
 from dabjax.msc.cif import cifs_from_soft
 from dabjax.msc.deinterleave import HISTORY
 from dabjax.msc.subchannel import EnsembleDecoder, SubchGeometry
@@ -142,6 +143,7 @@ class Receiver:
 
         @jax.jit
         def block(rows, coarse_hz):
+            rows = unpack_iq(rows)
             rows = demod.apply_cfo(rows, jnp.broadcast_to(
                 coarse_hz, rows.shape[:1]))
             fine = demod.fine_cfo_estimate(rows, p)
@@ -225,7 +227,7 @@ class Receiver:
 
         (soft, snr, fine, coarse, fibs, fic_ok, t_off,
          spectrum) = self._block_fn(
-            jnp.asarray(rows), jnp.float32(self._coarse_hz))
+            jnp.asarray(pack_iq(rows)), jnp.float32(self._coarse_hz))
         soft = np.asarray(soft)
         fic_ok = np.asarray(fic_ok)
         fibs_np = np.asarray(fibs)
