@@ -19,6 +19,15 @@ import time
 import numpy as np
 
 
+def _timed_run(fn, rows) -> float:
+    """Wall time of one dispatch of the in-graph timing loop (the scalar
+    fetch forces completion)."""
+    import time as _t
+    t0 = _t.perf_counter()
+    float(fn(rows))
+    return _t.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -42,8 +51,8 @@ def main():
         SubchGeometry(s.subch_id, s.start_addr, s.length_cus, s.bitrate,
                       s.protection, s.prot_level) for s in services)
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     mod = Modulator(mode=1, services=services)
     iq = mod.iq(n_frames, snr_db=None)
@@ -68,11 +77,21 @@ def main():
         assert np.array_equal(bits_np[0, t], want), \
             f"MSC decode mismatch on golden IQ at logical frame {t}"
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(rows)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # Time `iters` pipeline executions inside ONE compiled program (a
+    # fori_loop with a data dependency between iterations): the axon tunnel
+    # adds large, noisy per-dispatch latency that would otherwise dominate;
+    # in-graph repetition measures pure device throughput.
+    pipe = full_ensemble_pipeline(p, geoms)
+
+    @jax.jit
+    def timed(rows):
+        def body(_, acc):
+            ok_i, bits_i = pipe(rows + acc * 0.0)
+            return acc + jnp.sum(ok_i).astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(jax.block_until_ready(timed(rows)))          # compile + warm
+    dt = min(_timed_run(timed, rows) for _ in range(3)) / iters
 
     samples = n_frames * p.T_F
     sps = samples / dt

@@ -7,15 +7,29 @@ re-expressed as dense MXU work instead of SIMD shuffles
 * path metrics live as a ``[64, B]`` VMEM tile with the *batch* on lanes
   (every FIC codeword / MSC logical frame / subchannel decodes in
   lockstep),
-* the butterfly predecessor gather is a constant one-hot ``[128, 64]``
-  matrix multiply (a lane-invariant sublane permutation on the MXU),
-* branch metrics are ``signs[128, 4] @ soft[4, B]`` — also MXU,
-* per-step decisions stream to HBM as int8 planes; a second kernel walks
-  them backwards with a one-hot state select (the chainback_viterbi
-  analog, ``viterbi.cpp:333-357``).
+* **radix-4 ACS**: two trellis steps fuse into one 64->64 transition with
+  4 branches, halving the sequential chain; the predecessor gather is a
+  constant one-hot ``[256, 64]`` MXU matmul and the pair branch metrics
+  are ``S4[256, 8] @ soft2[8, B]`` — also MXU,
+* **no per-step renormalization**: all inputs are integer-valued soft bits
+  (|soft| <= 127), so path metrics stay exact integers in float32 as long
+  as they remain below 2^24; the worst case 508 * (nbits + 6) is ~4.7M for
+  the largest DAB subchannel (384 kbps), well inside the exact range —
+  comparisons are therefore bit-identical to integer arithmetic,
+* per-pair 2-bit decisions stream to HBM as int8 ``[T2, 64, B]`` planes;
+  a second kernel walks them backwards with a one-hot state select (the
+  chainback_viterbi analog, ``viterbi.cpp:333-357``) and emits the chosen
+  branch sequence packed 16 pairs per int32 word (Mosaic cannot prove a
+  row store at a dynamic sublane index is tile-aligned, and bit-packing
+  is cheaper than masked full-tile writes),
+* the decoded bits are a shifted copy of the chosen-branch sequence
+  (a branch enters the 6-bit shift register at bits 4..5 and is emitted
+  three pairs later), recovered with cheap elementwise XLA ops.
 
-Bit-exact with :func:`dabjax.fec.viterbi.viterbi_decode_np` (all inputs
-are integer-valued soft bits, so fp32 sums are exact).
+Tie-breaking matches the radix-2 reference decoder exactly: the second
+step's decision compares the per-first-decision maxima with strict ``>``,
+so ties prefer decision 0 at both steps — bit-exact with
+:func:`dabjax.fec.viterbi.viterbi_decode_np`.
 """
 
 from __future__ import annotations
@@ -31,27 +45,44 @@ from dabjax.fec.viterbi import _tables
 __all__ = ["viterbi_decode_pallas"]
 
 _LANES = 128
+_PAIRS_PER_WORD = 16
 
 
 @functools.lru_cache(maxsize=None)
-def _matrices():
-    """(P[128, 64] predecessor one-hot, S[128, 4] branch signs)."""
-    signs, prev0, prev1 = _tables()
-    P = np.zeros((128, 64), np.float32)
+def _radix4_matrices():
+    """(P4[256, 64] predecessor one-hot, S4[256, 8] pair branch signs).
+
+    Row layout e * 64 + n for new state ``n`` after the pair and branch
+    ``e = (d0 << 1) | d1`` (d0 = first step's decision, d1 = second's):
+    predecessor ``p = (n >> 2) | (e << 4)``, intermediate
+    ``q = ((p << 1) | ((n >> 1) & 1)) & 63``, register values
+    ``r_t = q | ((p >> 5) << 6)`` and ``r_{t+1} = n | ((q >> 5) << 6)``.
+    """
+    signs, _, _ = _tables()                     # signs[r, k] over 128 regs
+    P4 = np.zeros((256, 64), np.float32)
+    S4 = np.zeros((256, 8), np.float32)
     n = np.arange(64)
-    P[n, prev0] = 1.0
-    P[64 + n, prev1] = 1.0
-    return P, signs.astype(np.float32)
+    for e in range(4):
+        p = (n >> 2) | (e << 4)
+        q = ((p << 1) | ((n >> 1) & 1)) & 63
+        r_t = q | ((p >> 5) << 6)
+        r_t1 = n | ((q >> 5) << 6)
+        rows = e * 64 + n
+        P4[rows, p] = 1.0
+        S4[rows, 0:4] = signs[r_t]
+        S4[rows, 4:8] = signs[r_t1]
+    return P4, S4
 
 
-def _forward_kernel(T, TC):
+def _forward_kernel(T2, C):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     def kernel(soft_ref, p_ref, s_ref, dec_ref, pm_ref):
-        # soft_ref [TC, 4, B]; p_ref [128, 64]; s_ref [128, 4]
-        # dec_ref  [TC, 64, B] int8 out; pm_ref [64, B] f32 scratch
+        # soft_ref [C, 8, B] (soft bits of pair steps); p_ref [256, 64];
+        # s_ref [256, 8]; dec_ref [C, 64, B] int8 out (2-bit branch e);
+        # pm_ref [64, B] f32 scratch (path metrics, exact integers)
         B = pm_ref.shape[1]
 
         @pl.when(pl.program_id(0) == 0)
@@ -59,35 +90,44 @@ def _forward_kernel(T, TC):
             state_ids = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
             pm_ref[:] = jnp.where(state_ids == 0, 0.0, -1e9)
 
-        base = pl.program_id(0) * TC
+        base = pl.program_id(0) * C
 
         def body(t, _):
             m = (jnp.dot(p_ref[:], pm_ref[:],
                          preferred_element_type=jnp.float32)
                  + jnp.dot(s_ref[:], soft_ref[t],
-                           preferred_element_type=jnp.float32))
-            low, high = m[:64, :], m[64:, :]
-            valid = base + t < T
-            d = jnp.logical_and(high > low, valid)
-            pm = jnp.where(d, high, low)
-            pm = pm - jnp.max(pm, axis=0, keepdims=True)  # renormalize
+                           preferred_element_type=jnp.float32))   # [256, B]
+            # radix-2-equivalent selection: inner max over d0 per d1,
+            # then d1 over the maxima; all strict > so ties pick 0.
+            m00, m01 = m[0:64, :], m[64:128, :]       # e=0 (d0=0,d1=0), e=1
+            m10, m11 = m[128:192, :], m[192:256, :]   # e=2 (d0=1,d1=0), e=3
+            a = jnp.maximum(m00, m10)                 # best with d1=0
+            da = (m10 > m00).astype(jnp.int32)        # int32: Mosaic cannot
+            b = jnp.maximum(m01, m11)                 # select between i1s
+            db = (m11 > m01).astype(jnp.int32)
+            d1 = b > a
+            valid = base + t < T2
+            pm = jnp.where(d1, b, a)
             pm_ref[:] = jnp.where(valid, pm, pm_ref[:])
-            dec_ref[t] = d.astype(jnp.int8)
+            d0 = jnp.where(d1, db, da)
+            e = (d0 << 1) | d1.astype(jnp.int32)
+            dec_ref[t] = jnp.where(valid, e, 0).astype(jnp.int8)
             return 0
 
-        jax.lax.fori_loop(0, TC, body, 0)
+        jax.lax.fori_loop(0, C, body, 0)
 
     return kernel
 
 
-def _traceback_kernel(T, TC, n_chunks):
+def _traceback_kernel(C, words):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    def kernel(dec_ref, bits_ref, state_ref):
-        # dec_ref [TC, 64, B] int8 (reverse chunk order); bits_ref [TC, B]
-        # int32; state_ref [1, B] int32 scratch (shift register of bits)
+    def kernel(dec_ref, sel_ref, state_ref):
+        # dec_ref [C, 64, B] int8 (reverse chunk order); sel_ref
+        # [1, words, B] int32 out (chosen branches, 2 bits per pair, pair i
+        # of the word in bits 2i..2i+1); state_ref [1, B] int32 scratch
         B = state_ref.shape[1]
 
         @pl.when(pl.program_id(0) == 0)
@@ -95,22 +135,25 @@ def _traceback_kernel(T, TC, n_chunks):
             state_ref[:] = jnp.zeros((1, B), jnp.int32)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
-        trows = jax.lax.broadcasted_iota(jnp.int32, (TC, B), 0)
 
-        def body(i, _):
-            t = TC - 1 - i
-            d = dec_ref[t].astype(jnp.int32)          # [64, B]
-            mask = (rows == state_ref[:]).astype(jnp.int32)
-            sel = jnp.sum(mask * d, axis=0, keepdims=True)   # [1, B]
-            # Mosaic cannot prove an int8/int32 vector store at a dynamic
-            # sublane index is tile-aligned, so write row t as a masked
-            # full-tile update instead of bits_ref[t] = ...
-            bits_ref[:] = jnp.where(trows == t, state_ref[:] & 1,
-                                    bits_ref[:])
-            state_ref[:] = (state_ref[:] >> 1) | (sel << 5)
-            return 0
+        # walk pairs within the chunk in reverse, accumulating each word's
+        # 16 branch values; word boundaries are static so stores align.
+        for w in range(words - 1, -1, -1):
+            lo = w * _PAIRS_PER_WORD
+            hi = min(C, lo + _PAIRS_PER_WORD)
 
-        jax.lax.fori_loop(0, TC, body, 0)
+            def body(i, acc, lo=lo, hi=hi):
+                t = hi - 1 - i
+                d = dec_ref[t].astype(jnp.int32)            # [64, B]
+                mask = (rows == state_ref[:]).astype(jnp.int32)
+                e = jnp.sum(mask * d, axis=0, keepdims=True)  # [1, B]
+                acc = acc | (e << (2 * (t - lo)))
+                state_ref[:] = (state_ref[:] >> 2) | (e << 4)
+                return acc
+
+            acc = jax.lax.fori_loop(0, hi - lo, body,
+                                    jnp.zeros((1, B), jnp.int32))
+            sel_ref[0, w] = acc[0]
 
     return kernel
 
@@ -120,12 +163,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "chunk", "interpret"))
-def viterbi_decode_pallas(soft, nbits: int, chunk: int = 128,
+def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
                           interpret: bool = False):
     """Batched Pallas decode: ``soft`` (..., 4*(nbits+6)) -> (..., nbits).
 
-    Drop-in for :func:`dabjax.fec.viterbi.viterbi_decode_jax`; ``interpret``
-    runs the kernels in the Pallas interpreter (CPU test path).
+    Drop-in for :func:`dabjax.fec.viterbi.viterbi_decode_jax`; ``chunk`` is
+    the number of radix-4 pair steps per grid step; ``interpret`` runs the
+    kernels in the Pallas interpreter (CPU test path).
     """
     import jax
     import jax.numpy as jnp
@@ -133,59 +177,71 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 128,
     from jax.experimental.pallas import tpu as pltpu
 
     T = nbits + conv.K - 1
+    T2 = -(-T // 2)                       # pairs (radix-4 steps)
     lead = soft.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
     Bp = _round_up(max(B, 1), _LANES)
-    # Shrink the time chunk for wide batches: VMEM per grid step is
-    # ~(soft f32 + dec int8) * chunk * Bp double-buffered; keep
-    # chunk*Bp <= 64Ki lanes*steps (~8.5 MB) under the 16 MB scoped limit.
-    while chunk > 8 and chunk * Bp > 64 * 1024:
-        chunk //= 2
-    Tp = _round_up(T, chunk)
-    n_chunks = Tp // chunk
+    # VMEM per grid step ~ (soft f32 [C,8,B] + dec int8 [C,64,B]) double
+    # buffered; keep C*Bp <= 64Ki lanes*pairs (~12 MB) under the 16 MB limit.
+    C = chunk
+    while C > 8 and C * Bp > 64 * 1024:
+        C //= 2
+    Tp2 = _round_up(T2, C)
+    n_chunks = Tp2 // C
+    words = -(-C // _PAIRS_PER_WORD)
 
     s = soft.reshape(B, T, 4).astype(jnp.float32)
-    # [T, 4, B] with batch on lanes, zero-padded
-    s = jnp.moveaxis(s, 0, -1)
-    s = jnp.pad(s, ((0, Tp - T), (0, 0), (0, Bp - B)))
+    s = jnp.moveaxis(s, 0, -1)                     # [T, 4, B]
+    s = jnp.pad(s, ((0, 2 * Tp2 - T), (0, 0), (0, Bp - B)))
+    s = s.reshape(Tp2, 8, Bp)                      # pair steps
 
-    P, S = _matrices()
-    P = jnp.asarray(P)
-    S = jnp.asarray(S)
+    P4, S4 = _radix4_matrices()
+    P4 = jnp.asarray(P4)
+    S4 = jnp.asarray(S4)
 
     dec = pl.pallas_call(
-        _forward_kernel(T, chunk),
+        _forward_kernel(T2, C),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((chunk, 4, Bp), lambda i: (i, 0, 0),
+            pl.BlockSpec((C, 8, Bp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 64), lambda i: (0, 0),
+            pl.BlockSpec((256, 64), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 4), lambda i: (0, 0),
+            pl.BlockSpec((256, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk, 64, Bp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((C, 64, Bp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, 64, Bp), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((Tp2, 64, Bp), jnp.int8),
         scratch_shapes=[pltpu.VMEM((64, Bp), jnp.float32)],
         interpret=interpret,
-    )(s, P, S)
+    )(s, P4, S4)
 
-    bits = pl.pallas_call(
-        _traceback_kernel(T, chunk, n_chunks),
+    selw = pl.pallas_call(
+        _traceback_kernel(C, words),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((chunk, 64, Bp),
+            pl.BlockSpec((C, 64, Bp),
                          lambda i, n=n_chunks: (n - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk, Bp),
-                               lambda i, n=n_chunks: (n - 1 - i, 0),
+        out_specs=pl.BlockSpec((1, words, Bp),
+                               lambda i, n=n_chunks: (n - 1 - i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, Bp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, words, Bp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, Bp), jnp.int32)],
         interpret=interpret,
     )(dec)
 
-    out = bits[:nbits, :B].astype(jnp.int32)     # [nbits, B]
-    return jnp.moveaxis(out, 0, -1).reshape(lead + (nbits,))
+    # unpack the chosen-branch sequence: e_seq [Tp2', B] (2 bits per pair)
+    shifts = 2 * jnp.arange(_PAIRS_PER_WORD, dtype=jnp.int32)
+    e_seq = (selw[:, :, None, :] >> shifts[None, None, :, None]) & 3
+    e_seq = e_seq.reshape(n_chunks, words * _PAIRS_PER_WORD, Bp)
+    e_seq = e_seq[:, :C].reshape(Tp2, Bp)
+    # a branch enters the register at bits 4..5 and reaches bits 0..1 three
+    # pairs later: bits[2*tau] = e[tau+3] >> 1, bits[2*tau+1] = e[tau+3] & 1
+    n_pairs = -(-nbits // 2)
+    e3 = e_seq[3: 3 + n_pairs]
+    bits = jnp.stack([(e3 >> 1) & 1, e3 & 1], axis=1)   # [n_pairs, 2, B]
+    bits = bits.reshape(2 * n_pairs, Bp)[:nbits, :B].astype(jnp.int32)
+    return jnp.moveaxis(bits, 0, -1).reshape(lead + (nbits,))
