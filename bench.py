@@ -87,7 +87,9 @@ def main():
     def timed(rows):
         def body(_, acc):
             ok_i, bits_i = pipe(rows + acc * 0.0)
-            return acc + jnp.sum(ok_i).astype(jnp.float32)
+            # consume BOTH outputs or XLA dead-code-eliminates the MSC path
+            return (acc + jnp.sum(ok_i).astype(jnp.float32)
+                    + jnp.sum(bits_i).astype(jnp.float32) * 1e-9)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     float(jax.block_until_ready(timed(rows)))          # compile + warm

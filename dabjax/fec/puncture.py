@@ -217,3 +217,54 @@ def puncture(full: np.ndarray, mask: np.ndarray):
     """Inverse of :func:`depuncture` — transmitter side (gather)."""
     idx = np.flatnonzero(mask)
     return full[..., idx]
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_matrix(pi: int) -> np.ndarray:
+    """(c, 32) one-hot expansion of PI_pi's kept positions."""
+    pat = p_codes(pi)
+    c = int(pat.sum())
+    E = np.zeros((c, 32), np.float32)
+    E[np.arange(c), np.flatnonzero(pat)] = 1.0
+    return E
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_matrix_tail() -> np.ndarray:
+    cx = int(PI_X.sum())
+    E = np.zeros((cx, 24), np.float32)
+    E[np.arange(cx), np.flatnonzero(PI_X)] = 1.0
+    return E
+
+
+def depuncture_profile(soft, lengths, pis):
+    """TPU-fast depuncture straight from a protection profile.
+
+    Equivalent to ``depuncture(soft[..., :n_tx], puncture_mask(lengths,
+    pis))`` but expressed as one tiny one-hot matmul per equal-PI run
+    (the profile has <= 4 runs + the PI_X tail) instead of a scatter —
+    every output position receives exactly one kept value or an exact
+    zero, so the result is bit-identical.  Trailing entries of ``soft``
+    beyond the profile's transmitted length (UEP padding) are ignored.
+    """
+    import jax
+    import jax.numpy as jnp
+    # HIGHEST precision: the default single-bf16-pass matmul rounds values
+    # beyond 2^8; with a one-hot operand the 3-pass decomposition sums the
+    # hi/lo parts back exactly, keeping this a true (bit-exact) scatter.
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    lead = soft.shape[:-1]
+    parts = []
+    off = 0
+    for ln, pi in zip(lengths, pis):
+        E = _expand_matrix(pi)
+        c = E.shape[0]
+        n32 = ln * 4
+        seg = soft[..., off: off + n32 * c].reshape(lead + (n32, c))
+        parts.append(dot(seg, jnp.asarray(E)).reshape(lead + (n32 * 32,)))
+        off += n32 * c
+    Ex = _expand_matrix_tail()
+    segx = soft[..., off: off + Ex.shape[0]]
+    parts.append(dot(segx, jnp.asarray(Ex)))
+    return jnp.concatenate(parts, axis=-1)

@@ -80,17 +80,19 @@ def _forward_kernel(T2, C):
     from jax.experimental import pallas as pl
 
     def kernel(soft_ref, p_ref, s_ref, dec_ref, pm_ref):
-        # soft_ref [C, 8, B] (soft bits of pair steps); p_ref [256, 64];
-        # s_ref [256, 8]; dec_ref [C, 64, B] int8 out (2-bit branch e);
-        # pm_ref [64, B] f32 scratch (path metrics, exact integers)
+        # grid (lane_blocks, time_chunks), time fastest.  soft_ref [C, 8, LB]
+        # (soft bits of pair steps); p_ref [256, 64]; s_ref [256, 8];
+        # dec_ref [C, 64, LB] int8 out (2-bit branch e); pm_ref [64, LB] f32
+        # scratch (path metrics, exact integers), persisted across the time
+        # chunks of one lane block.
         B = pm_ref.shape[1]
 
-        @pl.when(pl.program_id(0) == 0)
+        @pl.when(pl.program_id(1) == 0)
         def _():
             state_ids = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
             pm_ref[:] = jnp.where(state_ids == 0, 0.0, -1e9)
 
-        base = pl.program_id(0) * C
+        base = pl.program_id(1) * C
 
         def body(t, _):
             m = (jnp.dot(p_ref[:], pm_ref[:],
@@ -125,12 +127,13 @@ def _traceback_kernel(C, words):
     from jax.experimental import pallas as pl
 
     def kernel(dec_ref, sel_ref, state_ref):
-        # dec_ref [C, 64, B] int8 (reverse chunk order); sel_ref
-        # [1, words, B] int32 out (chosen branches, 2 bits per pair, pair i
-        # of the word in bits 2i..2i+1); state_ref [1, B] int32 scratch
+        # grid (lane_blocks, time_chunks), time fastest in REVERSE chunk
+        # order.  dec_ref [C, 64, LB] int8; sel_ref [1, words, LB] int32 out
+        # (chosen branches, 2 bits per pair, pair i of the word in bits
+        # 2i..2i+1); state_ref [1, LB] int32 scratch per lane block.
         B = state_ref.shape[1]
 
-        @pl.when(pl.program_id(0) == 0)
+        @pl.when(pl.program_id(1) == 0)
         def _():
             state_ref[:] = jnp.zeros((1, B), jnp.int32)
 
@@ -180,11 +183,14 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
     T2 = -(-T // 2)                       # pairs (radix-4 steps)
     lead = soft.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
-    Bp = _round_up(max(B, 1), _LANES)
-    # VMEM per grid step ~ (soft f32 [C,8,B] + dec int8 [C,64,B]) double
-    # buffered; keep C*Bp <= 64Ki lanes*pairs (~12 MB) under the 16 MB limit.
+    # Wide batches are tiled on a second (outer) grid axis of lane blocks,
+    # so the time chunk stays large: VMEM per grid step ~ (soft f32
+    # [C,8,LB] + dec int8 [C,64,LB]) double buffered; C*LB = 64Ki is ~12 MB.
+    LB = min(_round_up(max(B, 1), _LANES), 1024)
+    Bp = _round_up(max(B, 1), LB)
+    n_lb = Bp // LB
     C = chunk
-    while C > 8 and C * Bp > 64 * 1024:
+    while C > 8 and C * LB > 64 * 1024:
         C //= 2
     Tp2 = _round_up(T2, C)
     n_chunks = Tp2 // C
@@ -201,47 +207,51 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
 
     dec = pl.pallas_call(
         _forward_kernel(T2, C),
-        grid=(n_chunks,),
+        grid=(n_lb, n_chunks),
         in_specs=[
-            pl.BlockSpec((C, 8, Bp), lambda i: (i, 0, 0),
+            pl.BlockSpec((C, 8, LB), lambda l, i: (i, 0, l),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 64), lambda i: (0, 0),
+            pl.BlockSpec((256, 64), lambda l, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 8), lambda i: (0, 0),
+            pl.BlockSpec((256, 8), lambda l, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, 64, Bp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((C, 64, LB), lambda l, i: (i, 0, l),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp2, 64, Bp), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((64, Bp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((64, LB), jnp.float32)],
         interpret=interpret,
     )(s, P4, S4)
 
     selw = pl.pallas_call(
         _traceback_kernel(C, words),
-        grid=(n_chunks,),
+        grid=(n_lb, n_chunks),
         in_specs=[
-            pl.BlockSpec((C, 64, Bp),
-                         lambda i, n=n_chunks: (n - 1 - i, 0, 0),
+            pl.BlockSpec((C, 64, LB),
+                         lambda l, i, n=n_chunks: (n - 1 - i, 0, l),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, words, Bp),
-                               lambda i, n=n_chunks: (n - 1 - i, 0, 0),
+        out_specs=pl.BlockSpec((1, words, LB),
+                               lambda l, i, n=n_chunks: (n - 1 - i, 0, l),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_chunks, words, Bp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, Bp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, LB), jnp.int32)],
         interpret=interpret,
     )(dec)
 
-    # unpack the chosen-branch sequence: e_seq [Tp2', B] (2 bits per pair)
+    # unpack the chosen-branch sequence in batch-major layout: transposing
+    # the small packed tensor first (KBs) means the big bit tensor is built
+    # directly as [B, nbits] with no large fused transpose (which the axon
+    # runtime miscompiles when combined with a broadcast consumer).
+    selw_t = jnp.transpose(selw, (2, 0, 1))             # [Bp, n_chunks, words]
     shifts = 2 * jnp.arange(_PAIRS_PER_WORD, dtype=jnp.int32)
-    e_seq = (selw[:, :, None, :] >> shifts[None, None, :, None]) & 3
-    e_seq = e_seq.reshape(n_chunks, words * _PAIRS_PER_WORD, Bp)
-    e_seq = e_seq[:, :C].reshape(Tp2, Bp)
+    e_seq = (selw_t[:, :, :, None] >> shifts[None, None, None, :]) & 3
+    e_seq = e_seq.reshape(Bp, n_chunks, words * _PAIRS_PER_WORD)
+    e_seq = e_seq[:, :, :C].reshape(Bp, Tp2)
     # a branch enters the register at bits 4..5 and reaches bits 0..1 three
     # pairs later: bits[2*tau] = e[tau+3] >> 1, bits[2*tau+1] = e[tau+3] & 1
     n_pairs = -(-nbits // 2)
-    e3 = e_seq[3: 3 + n_pairs]
-    bits = jnp.stack([(e3 >> 1) & 1, e3 & 1], axis=1)   # [n_pairs, 2, B]
-    bits = bits.reshape(2 * n_pairs, Bp)[:nbits, :B].astype(jnp.int32)
-    return jnp.moveaxis(bits, 0, -1).reshape(lead + (nbits,))
+    e3 = e_seq[:, 3: 3 + n_pairs]
+    bits = jnp.stack([(e3 >> 1) & 1, e3 & 1], axis=-1)  # [Bp, n_pairs, 2]
+    bits = bits.reshape(Bp, 2 * n_pairs)[:B, :nbits].astype(jnp.int32)
+    return bits.reshape(lead + (nbits,))

@@ -48,8 +48,7 @@ def decode_fic(fic_soft: jnp.ndarray, p: DabParams
     F = fic_soft.shape[0]
     n_cw = fic_codewords_per_frame(p)
     cw = fic_soft.reshape(F, n_cw, 2304)
-    mask = _fic_mask_indices()
-    full = puncture.depuncture(cw, mask)               # [F, n_cw, 3096]
+    full = puncture.depuncture_profile(cw, [21, 3], [16, 15])  # [F,n_cw,3096]
     bits = viterbi.viterbi_decode(full, 768)           # [F, n_cw, 768]
     bits = prbs.disperse(bits)                         # energy dispersal
     fibs = bits.reshape(F, n_cw * 3, 256)

@@ -73,10 +73,13 @@ def decode_subchannel(subch_soft: jnp.ndarray, g: SubchGeometry,
     (dab-concurrent.cpp:144-193 semantics; output CIF index t+15
     corresponds to transmitted logical frame t).
     """
-    mask = subch_puncture_mask(g.protection, g.bitrate, g.prot_level)
+    if g.protection == "UEP":
+        lengths, pis = puncture.uep_profile(g.bitrate, g.prot_level)
+    else:
+        lengths, pis = puncture.eep_profile(g.bitrate, g.prot_level,
+                                            g.protection[-1])
     soft = time_deinterleave(subch_soft) if deinterleave else subch_soft
-    tx = soft[..., : int(mask.sum())]        # drop UEP padding bits
-    full = puncture.depuncture(tx, mask)
+    full = puncture.depuncture_profile(soft, lengths, pis)
     bits = viterbi.viterbi_decode(full, 24 * g.bitrate)
     return prbs.disperse(bits)
 
