@@ -24,7 +24,7 @@ import numpy as np
 
 from dabjax.constants import DabParams
 from dabjax.iq import device_complex
-from dabjax.ofdm import tables
+from dabjax.ofdm import fft, tables
 
 __all__ = ["frame_window_index", "demodulate_frames", "snr_estimate",
            "fine_cfo_estimate", "coarse_cfo_estimate", "apply_cfo"]
@@ -52,10 +52,11 @@ def demodulate_frames(samples: jnp.ndarray, p: DabParams
       soft: [F, L-1, 2K] float32 soft bits in -127..127
       spectra0: [F, T_u] complex PRS spectra (for SNR / coarse CFO).
     """
-    idx = frame_window_index(p.T_s, p.T_u, p.L)
     cb = jnp.asarray(tables.carrier_bins(p.mode, p.T_u, p.K))
-    wins = samples[:, idx]                       # [F, L, T_u]
-    spec = jnp.fft.fft(wins, axis=-1)
+    # symbol windows as L static slices (a gather here costs ~3x the FFT)
+    wins = jnp.stack([samples[:, l * p.T_s: l * p.T_s + p.T_u]
+                      for l in range(p.L)], axis=1)       # [F, L, T_u]
+    spec = fft.mxu_fft(wins)                     # MXU two-stage DFT
     # DQPSK over the full spectrum, then gather the interleaved carriers as
     # float soft bits: complex gathers along the minor axis are unimplemented
     # on the experimental axon TPU backend, float gathers are fine, and the
@@ -92,11 +93,12 @@ def fine_cfo_estimate(samples: jnp.ndarray, p: DabParams) -> jnp.ndarray:
     (ofdm-processor.cpp:424-425,445-446, summed over the whole frame).
     """
     T_s, T_u, T_g, L = p.T_s, p.T_u, p.T_g, p.L
-    # guard of symbol l (l >= 1) occupies [l*T_s - T_g, l*T_s)
-    gidx = (np.arange(1, L)[:, None] * T_s - T_g
-            + np.arange(T_g)[None, :])
-    g = samples[:, gidx]                       # [F, L-1, T_g]
-    ref = samples[:, gidx + T_u]
+    # guard of symbol l (l >= 1) occupies [l*T_s - T_g, l*T_s); static
+    # slices per symbol instead of a 2-D gather
+    g = jnp.stack([samples[:, l * T_s - T_g: l * T_s]
+                   for l in range(1, L)], axis=1)          # [F, L-1, T_g]
+    ref = jnp.stack([samples[:, l * T_s - T_g + T_u: l * T_s + T_u]
+                     for l in range(1, L)], axis=1)
     # guard is a copy of the *end* of the useful part: corr s[i]*conj(s[i+Tu])
     corr = jnp.sum(g * jnp.conj(ref), axis=(-2, -1))
     return -jnp.angle(corr) / jnp.pi * (p.carrier_diff / 2.0)
