@@ -137,14 +137,28 @@ class PacketService:
 
     def __init__(self, dscty: int,
                  on_object: Optional[Callable[[MotObject], None]] = None,
-                 on_ip: Optional[Callable[[bytes], None]] = None):
+                 on_ip: Optional[Callable[[bytes], None]] = None,
+                 fec_scheme: int = 0):
         self.dscty = dscty
         self.assembler, self.handler = dispatch_for_dscty(
             dscty, on_object=on_object, on_ip=on_ip)
+        self.fec: Optional["FecFrameDecoder"] = None
+        if fec_scheme == 1:                # FIG 0/14: RS(204,188) applied
+            from dabjax.data.fec_frame import FecFrameDecoder
+            self.fec = FecFrameDecoder(on_packet=self.assembler._packet)
 
     def add_logical_frame(self, bits) -> None:
         data = np.packbits(np.asarray(bits, np.uint8)).tobytes()
-        self.assembler.add_bytes(data)
+        if self.fec is None:
+            self.assembler.add_bytes(data)
+            return
+        pos = 0                            # slice packets, FEC-correct first
+        while pos + 2 <= len(data):
+            plen = (((data[pos] >> 6) & 0x3) + 1) * 24
+            if pos + plen > len(data):
+                return
+            self.fec.add_packet(data[pos: pos + plen])
+            pos += plen
 
     @property
     def error_rate(self) -> float:

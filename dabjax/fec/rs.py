@@ -1,9 +1,15 @@
-"""Reed-Solomon RS(120,110) over GF(2^8) for DAB+ superframes.
+"""Reed-Solomon codes over GF(2^8), gfpoly 0x11D, fcr 0, prim 1.
 
-Parameters match the reference's Karn-derived decoder instantiation
-(``mp4processor.cpp:71-74``: symsize 8, gfpoly 0o435, fcr 0, prim 1,
-nroots 10, shortened by 135 from RS(255,245); decode semantics of
-``rs-decoder.cpp:28-413``).
+Two DAB instantiations share this codec:
+
+* **RS(120,110)** (default) — DAB+ superframe protection, matching the
+  reference's Karn-derived decoder (``mp4processor.cpp:71-74``: symsize 8,
+  gfpoly 0o435, nroots 10, shortened by 135 from RS(255,245); decode
+  semantics of ``rs-decoder.cpp:28-413``).
+* **RS(204,188)** — MSC packet-mode FEC (EN 300 401 §5.3.5, FIG 0/14
+  fec_scheme 1), the code implemented by the reference's built-but-unwired
+  ``rscodec``/``reedSolomon`` classes (``src/backend/audio/rscodec.cpp``,
+  ``src/backend/reed-solomon.cpp``); pass ``n=204, k=188``.
 
 * ``rs_encode``       — systematic encoder (modulator / golden fixtures).
 * ``rs_decode_np``    — scalar decoder: syndromes, Berlekamp-Massey, Chien,
@@ -79,66 +85,70 @@ def _poly_eval(poly: List[int], x: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _genpoly() -> Tuple[int, ...]:
-    """Generator polynomial prod_{i=0..9} (x + alpha^i), low-order first."""
+def _genpoly(nroots: int = _NROOTS) -> Tuple[int, ...]:
+    """Generator polynomial prod_{i<nroots} (x + alpha^i), low-order first."""
     g = [1]
-    for i in range(_NROOTS):
+    for i in range(nroots):
         root = _pow_alpha(i)
         ng = [0] * (len(g) + 1)
         for k, c in enumerate(g):
             ng[k] ^= _mul(c, root)
             ng[k + 1] ^= c
         g = ng
-    return tuple(g)   # degree 10; g[10] == 1
+    return tuple(g)   # degree nroots; g[nroots] == 1
 
 
-def rs_encode(data: np.ndarray) -> np.ndarray:
-    """Systematic encode (..., 110) data bytes -> (..., 120) codewords."""
+def rs_encode(data: np.ndarray, n: int = _N, k: int = _K) -> np.ndarray:
+    """Systematic encode (..., k) data bytes -> (..., n) codewords."""
+    nroots = n - k
     data = np.asarray(data, np.uint8)
     lead = data.shape[:-1]
-    flat = data.reshape(-1, _K)
-    g = np.array(_genpoly()[: _NROOTS][::-1], np.int32)  # g9..g0
-    out = np.zeros((flat.shape[0], _N), np.uint8)
-    out[:, :_K] = flat
+    flat = data.reshape(-1, k)
+    g = np.array(_genpoly(nroots)[:nroots][::-1], np.int32)  # high..low
+    out = np.zeros((flat.shape[0], n), np.uint8)
+    out[:, :k] = flat
     log, alog = _gf_tables()
     for r in range(flat.shape[0]):
-        rem = [0] * _NROOTS   # rem[0] = highest order
-        for i in range(_K):
+        rem = [0] * nroots   # rem[0] = highest order
+        for i in range(k):
             fb = rem[0] ^ int(flat[r, i])
             rem = rem[1:] + [0]
             if fb:
                 lf = log[fb]
-                for k in range(_NROOTS):
-                    if g[k]:
-                        rem[k] ^= int(alog[lf + log[g[k]]])
-        out[r, _K:] = rem
-    return out.reshape(lead + (_N,))
+                for kk in range(nroots):
+                    if g[kk]:
+                        rem[kk] ^= int(alog[lf + log[g[kk]]])
+        out[r, k:] = rem
+    return out.reshape(lead + (n,))
 
 
 @functools.lru_cache(maxsize=None)
-def _syndrome_matrix() -> np.ndarray:
-    """(10, 120) int32: powmat[j, i] = alpha^{j * deg_i}, deg_i = 119-i."""
+def _syndrome_matrix(n: int = _N, nroots: int = _NROOTS) -> np.ndarray:
+    """(nroots, n) int32: powmat[j, i] = alpha^{j * deg_i}, deg_i = n-1-i."""
     _, alog = _gf_tables()
-    deg = np.arange(_N)[::-1].astype(np.int64)
-    j = np.arange(_NROOTS)[:, None]
+    deg = np.arange(n)[::-1].astype(np.int64)
+    j = np.arange(nroots)[:, None]
     return alog[(j * deg[None, :]) % 255].astype(np.int32)
 
 
-def _syndromes_batch(cws: np.ndarray) -> np.ndarray:
-    """(..., 120) codewords -> (..., 10) syndromes, vectorized."""
+def _syndromes_batch(cws: np.ndarray, n: int = _N,
+                     nroots: int = _NROOTS) -> np.ndarray:
+    """(..., n) codewords -> (..., nroots) syndromes, vectorized."""
     log, alog = _gf_tables()
     cws = np.asarray(cws, np.int32)
-    pm = _syndrome_matrix()                      # (10, 120)
+    pm = _syndrome_matrix(n, nroots)             # (nroots, n)
     lp = log[cws]                                # (..., 120)
     prod = alog[(lp[..., None, :] + log[pm]) % 255]
     prod = np.where(cws[..., None, :] == 0, 0, prod)
     return np.bitwise_xor.reduce(prod, axis=-1)
 
 
-def rs_decode_np(cw: np.ndarray) -> Tuple[np.ndarray, int]:
-    """Decode one 120-byte codeword -> (110 data bytes, n_corrected|-1)."""
+def rs_decode_np(cw: np.ndarray, n: int = _N, k: int = _K
+                 ) -> Tuple[np.ndarray, int]:
+    """Decode one n-byte codeword -> (k data bytes, n_corrected|-1)."""
+    _N, _K, _NROOTS = n, k, n - k                # shadow module defaults
     cw = np.asarray(cw, np.int32).copy()
-    s = [int(v) for v in _syndromes_batch(cw)]
+    s = [int(v) for v in _syndromes_batch(cw, _N, _NROOTS)]
     if not any(s):
         return cw[:_K].astype(np.uint8), 0
 
@@ -192,23 +202,24 @@ def rs_decode_np(cw: np.ndarray) -> Tuple[np.ndarray, int]:
             return cw[:_K].astype(np.uint8), -1
         mag = _mul(_div(num, den), _pow_alpha(d))   # X_l^{1-fcr}, fcr=0
         cw[_N - 1 - d] ^= mag
-    if any(int(v) for v in _syndromes_batch(cw)):
+    if any(int(v) for v in _syndromes_batch(cw, _N, _NROOTS)):
         return cw[:_K].astype(np.uint8), -1
     return cw[:_K].astype(np.uint8), len(err_deg)
 
 
-def rs_decode_batch(cws: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode (..., 120) codewords -> ((..., 110) data, (...,) n_corrected).
+def rs_decode_batch(cws: np.ndarray, n: int = _N, k: int = _K
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode (..., n) codewords -> ((..., k) data, (...,) n_corrected).
 
     n_corrected is -1 where decoding failed (mirrors rs-decoder.cpp dec()).
     """
     cws = np.asarray(cws, np.uint8)
     lead = cws.shape[:-1]
-    flat = cws.reshape(-1, _N)
-    synd = _syndromes_batch(flat)
+    flat = cws.reshape(-1, n)
+    synd = _syndromes_batch(flat, n, n - k)
     dirty = synd.any(axis=-1)
-    data = flat[:, :_K].copy()
+    data = flat[:, :k].copy()
     ncorr = np.zeros(flat.shape[0], np.int32)
     for i in np.flatnonzero(dirty):
-        data[i], ncorr[i] = rs_decode_np(flat[i])
-    return data.reshape(lead + (_K,)), ncorr.reshape(lead)
+        data[i], ncorr[i] = rs_decode_np(flat[i], n, k)
+    return data.reshape(lead + (k,)), ncorr.reshape(lead)

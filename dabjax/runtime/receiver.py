@@ -39,6 +39,7 @@ from dabjax.msc.subchannel import EnsembleDecoder, SubchGeometry
 from dabjax.ofdm import acquisition, demod
 from dabjax.runtime.config import ReceiverConfig
 from dabjax.runtime.metrics import Metrics
+from dabjax.runtime.profiling import StageProfiler
 from dabjax.data.pad import PadHandler
 from dabjax.data.packet import PacketService
 
@@ -50,7 +51,9 @@ def default_data_handler_factory(db: EnsembleDB, subch_id: int):
     signalling (the set_dataChannel analog, msc-handler.cpp:125)."""
     for comp in db.components:
         if comp.tmid == 3 and comp.subch_id == subch_id and comp.dscty >= 0:
-            return PacketService(comp.dscty)
+            sc = db.subchannels.get(subch_id)
+            fec = sc.fec_scheme if sc is not None else 0
+            return PacketService(comp.dscty, fec_scheme=fec)
     return None
 
 
@@ -117,6 +120,7 @@ class Receiver:
         self.p = get_mode(self.cfg.mode)
         self.db = EnsembleDB()
         self.metrics = Metrics()
+        self.profiler = StageProfiler()
         self.audio: Dict[int, AudioService] = {}
         self.data_handler_factory = (data_handler_factory
                                      or default_data_handler_factory)
@@ -225,10 +229,11 @@ class Receiver:
         if self._iq_dump is not None:        # raw-IQ tap at pipeline input
             self._iq_dump.write(self._buf[base: base + F * p.T_F])
 
-        (soft, snr, fine, coarse, fibs, fic_ok, t_off,
-         spectrum) = self._block_fn(
-            jnp.asarray(pack_iq(rows)), jnp.float32(self._coarse_hz))
-        soft = np.asarray(soft)
+        with self.profiler.stage("device_block", items=F * p.T_F):
+            (soft, snr, fine, coarse, fibs, fic_ok, t_off,
+             spectrum) = self._block_fn(
+                jnp.asarray(pack_iq(rows)), jnp.float32(self._coarse_hz))
+            soft = np.asarray(soft)
         fic_ok = np.asarray(fic_ok)
         fibs_np = np.asarray(fibs)
         # scope taps (SURVEY.md §2.4: spectrum waterfall + IQ display)
@@ -266,8 +271,9 @@ class Receiver:
                     self.metrics.fic_crc_bad += 1
 
         # ----- MSC
-        cifs = np.asarray(cifs_from_soft(jnp.asarray(soft), p))
-        self._process_cifs(cifs)
+        with self.profiler.stage("msc", items=F * p.T_F):
+            cifs = np.asarray(cifs_from_soft(jnp.asarray(soft), p))
+            self._process_cifs(cifs)
 
         self._u0 += F * p.T_F
         self._drop_before(self._u0 - p.T_u)

@@ -1,0 +1,180 @@
+"""Device layer: format converters, resampler, ring queue, packet FEC,
+profiler, and graceful degradation without SDR hardware."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from dabjax.data.fec_frame import (FEC_PACKET_ADDRESS, FecFrameDecoder,
+                                   FecFrameEncoder)
+from dabjax.fec.crc import crc16_ccitt
+from dabjax.fec.rs import rs_decode_batch, rs_decode_np, rs_encode
+from dabjax.io.devices import (DeviceUnavailable, RingQueue, RtlSdrSource,
+                               SdrplaySource, UhdSource)
+from dabjax.io.resample import (iq_converter, iq_from_i16, iq_from_i24,
+                                iq_from_u8, resample_linear)
+from dabjax.runtime.profiling import StageProfiler, device_trace
+
+
+# ---------------------------------------------------------------- formats
+
+def test_iq_format_converters():
+    u8 = bytes([128, 128, 255, 0, 0, 255])
+    x = iq_from_u8(u8)
+    assert x.dtype == np.complex64 and x.shape == (3,)
+    np.testing.assert_allclose(x[0], 0)
+    np.testing.assert_allclose(x[1], (127 - 128j) / 128)
+
+    i16 = np.array([16384, -16384, 32767, 0], np.int16).tobytes()
+    y = iq_from_i16(i16)
+    np.testing.assert_allclose(y[0], 0.5 - 0.5j)
+
+    v = 0x400000            # +2^22 -> 0.5 in 24-bit
+    i24 = bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF] * 2)
+    z = iq_from_i24(i24)
+    np.testing.assert_allclose(z[0], 0.5 + 0.5j)
+
+    assert iq_converter("u8") is iq_from_u8
+    with pytest.raises(ValueError):
+        iq_converter("nope")
+
+
+def test_resample_linear_tone():
+    """A pure tone survives linear resampling (the Airspy 2.5 MHz path)."""
+    fs_in, fs_out, f0 = 2_500_000, 2_048_000, 10_000
+    t = np.arange(25000) / fs_in
+    x = np.exp(2j * np.pi * f0 * t).astype(np.complex64)
+    y = resample_linear(x, fs_in, fs_out)
+    assert y.shape[0] == int((x.shape[0] - 1) * fs_out / fs_in)
+    t2 = np.arange(y.shape[0]) / fs_out
+    want = np.exp(2j * np.pi * f0 * t2)
+    assert np.max(np.abs(y - want)) < 1e-3
+    # identity when rates match
+    assert resample_linear(x, fs_in, fs_in) is x
+
+
+# -------------------------------------------------------------- ring queue
+
+def test_ring_queue_threads():
+    q = RingQueue(capacity=1 << 20)
+    chunks = [np.full(1000, i, np.complex64) for i in range(50)]
+
+    def producer():
+        for c in chunks:
+            q.push(c)
+
+    th = threading.Thread(target=producer)
+    th.start()
+    out = q.pop(50_000)
+    th.join()
+    assert out.shape[0] == 50_000
+    want = np.concatenate(chunks)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_ring_queue_overrun_drops():
+    q = RingQueue(capacity=100)
+    q.push(np.zeros(80, np.complex64))
+    q.push(np.zeros(80, np.complex64))      # would exceed capacity
+    assert q.overruns == 1 and q.level == 80
+
+
+# ----------------------------------------------------- hardware degradation
+
+def test_devices_unavailable_without_hardware():
+    """No SDR hardware in CI: constructors must raise DeviceUnavailable
+    (the null-device fallback path, gui.cpp:1062-1071), never crash."""
+    for cls in (RtlSdrSource, SdrplaySource, UhdSource):
+        with pytest.raises(DeviceUnavailable):
+            cls(frequency_hz=220_352_000)
+
+
+# ------------------------------------------------------------ RS(204,188)
+
+def test_rs204_roundtrip_and_limits():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, (4, 188), np.uint8)
+    cw = rs_encode(data, 204, 188)
+    assert cw.shape == (4, 204)
+    # clean decode
+    out, nc = rs_decode_batch(cw, 204, 188)
+    assert np.array_equal(out, data) and (nc == 0).all()
+    # 8 errors per row corrected
+    cwe = cw.copy()
+    for r in range(4):
+        pos = rng.choice(204, 8, replace=False)
+        cwe[r, pos] ^= rng.integers(1, 256, 8, np.uint8)
+    out, nc = rs_decode_batch(cwe, 204, 188)
+    assert np.array_equal(out, data) and (nc == 8).all()
+    # 9 errors fail
+    bad = cw[0].copy()
+    bad[rng.choice(204, 9, replace=False)] ^= 1
+    _, n = rs_decode_np(bad, 204, 188)
+    assert n == -1
+
+
+# ------------------------------------------------------- packet-mode FEC
+
+def _mk_packet(address: int, payload: bytes, first_last: int = 0b11,
+               length_code: int = 0) -> bytes:
+    """24-byte packet in the assembler's header convention + CRC16."""
+    hdr0 = (length_code << 6) | (first_last << 2) | (address >> 8)
+    body = bytes([hdr0, address & 0xFF, len(payload)]) + payload
+    body = body + bytes(24 - 2 - len(body))
+    crc = (~crc16_ccitt(np.frombuffer(body, np.uint8))) & 0xFFFF
+    return body + bytes([crc >> 8, crc & 0xFF])
+
+
+def test_fec_frame_closed_loop():
+    rng = np.random.default_rng(5)
+    enc = FecFrameEncoder()
+    sent = []
+    for i in range(2 * 94):                  # exactly two FEC frames
+        pkt = _mk_packet(11, bytes(rng.integers(0, 256, 19, np.uint8)))
+        sent.append(pkt)
+        enc.add_packet(pkt)
+    stream = enc.take()
+    n_fec = sum(1 for p in stream
+                if ((p[0] << 8 | p[1]) & 0x3FF) == FEC_PACKET_ADDRESS)
+    assert n_fec == 18                       # 9 per frame
+
+    # corrupt some data packets (within 8 errors/row), decode, compare
+    corrupted = [bytearray(p) for p in stream]
+    hits = 0
+    for p in corrupted:
+        if ((p[0] << 8 | p[1]) & 0x3FF) != FEC_PACKET_ADDRESS and hits < 6:
+            p[5] ^= 0xFF
+            hits += 1
+    got = []
+    dec = FecFrameDecoder(on_packet=lambda q: got.append(bytes(q)))
+    for p in corrupted:
+        dec.add_packet(bytes(p))
+    assert dec.frames == 2 and dec.rows_failed == 0
+    assert dec.rows_corrected > 0
+    assert got == sent
+
+
+def test_fec_frame_passthrough_without_fec_packets():
+    """A stream with no FEC packets must still deliver packets."""
+    got = []
+    dec = FecFrameDecoder(on_packet=lambda q: got.append(bytes(q)))
+    pkts = [_mk_packet(9, bytes([i] * 10)) for i in range(120)]
+    for p in pkts:
+        dec.add_packet(p)
+    assert len(got) >= 94                    # flushed on overflow
+
+
+# -------------------------------------------------------------- profiling
+
+def test_stage_profiler_report():
+    prof = StageProfiler()
+    with prof.stage("demod", items=196608):
+        pass
+    prof.add("msc", 0.5, items=196608)
+    rep = prof.report()
+    assert "demod" in rep and "msc" in rep and "x RT" in rep
+    d = prof.as_dict()
+    assert d["msc"]["seconds"] == 0.5
+    with device_trace("/tmp/dabjax_trace_test"):
+        pass                                  # must never raise
