@@ -29,6 +29,10 @@ class Metrics:
     packet_crc_bad: int = 0
     rs_corrected: int = 0
     samples_processed: int = 0
+    #: ewma of the measured frame length in samples (T_F + timing drift) —
+    #: the clock-drift proxy shown by the reference as "avg token length"
+    #: (ofdm-processor.cpp:368-380, gui.cpp display slot)
+    avg_frame_len: float = 0.0
     # scope taps (numpy arrays; excluded from as_dict)
     spectrum: Optional[object] = None        # [T_u] mean |PRS spectrum|
     constellation: Optional[object] = None   # [K] complex DQPSK points

@@ -260,6 +260,12 @@ class Receiver:
             off -= p.T_u
         if 0 < abs(off) <= p.T_g:
             self._u0 += off
+        # clock-drift proxy: measured frame length = T_F + drift per frame
+        # (the avgTokenLength ewma, ofdm-processor.cpp:368-380)
+        measured = p.T_F + off / F
+        self.metrics.avg_frame_len = (
+            measured if self.metrics.avg_frame_len == 0.0
+            else 0.9 * self.metrics.avg_frame_len + 0.1 * measured)
 
         # ----- FIC -> ensemble database
         for f in range(F):

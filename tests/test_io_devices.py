@@ -178,3 +178,19 @@ def test_stage_profiler_report():
     assert d["msc"]["seconds"] == 0.5
     with device_trace("/tmp/dabjax_trace_test"):
         pass                                  # must never raise
+
+
+# ------------------------------------------------------------- fast atan2
+
+def test_comp_atan2_matches_numpy():
+    from dabjax.fastmath import comp_atan2
+    rng = np.random.default_rng(11)
+    y = rng.standard_normal(5000).astype(np.float32)
+    x = rng.standard_normal(5000).astype(np.float32)
+    got = comp_atan2(y, x)
+    want = np.arctan2(y, x)
+    assert np.max(np.abs(got - want)) < 4e-3      # table quantization
+    # axes / zero handling
+    assert comp_atan2(0.0, 1.0) == 0.0
+    np.testing.assert_allclose(comp_atan2(1.0, 0.0), np.pi / 2, atol=1e-6)
+    np.testing.assert_allclose(comp_atan2(0.0, -1.0), np.pi, atol=1e-6)
