@@ -25,14 +25,34 @@ from typing import Optional
 import numpy as np
 
 
-def open_source(spec: str):
+def open_source(spec: str, frequency_hz: int = 0):
+    """Source by spec: file path, ``null``, ``rtl_tcp://host:port``, or a
+    live device ``rtlsdr`` / ``airspy`` / ``sdrplay`` / ``uhd``
+    (optionally ``rtlsdr:CHANNEL``, e.g. ``rtlsdr:12C``)."""
     from dabjax.io import sources
     if spec == "null":
         return sources.NullSource()
     if spec.startswith("rtl_tcp://"):
         from dabjax.io.rtl_tcp import RtlTcpSource
         host, _, port = spec[len("rtl_tcp://"):].partition(":")
-        return RtlTcpSource(host, int(port or 1234))
+        src = RtlTcpSource(host, int(port or 1234))
+        if frequency_hz:
+            src.set_frequency(frequency_hz)
+        return src
+    dev, _, chan = spec.partition(":")
+    if dev in ("rtlsdr", "airspy", "sdrplay", "uhd"):
+        from dabjax.io import devices
+        from dabjax.runtime.channels import frequency_khz
+        if chan:
+            frequency_hz = frequency_khz(chan) * 1000
+        cls = {"rtlsdr": devices.RtlSdrSource,
+               "airspy": devices.AirspySource,
+               "sdrplay": devices.SdrplaySource,
+               "uhd": devices.UhdSource}[dev]
+        try:
+            return cls(frequency_hz=frequency_hz)
+        except devices.DeviceUnavailable as e:
+            raise SystemExit(f"device {dev} unavailable: {e}")
     ext = os.path.splitext(spec)[1].lower()
     if ext == ".raw":
         from dabjax.io import native

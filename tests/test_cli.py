@@ -150,3 +150,12 @@ def test_config_roundtrip(raw_file, tmp_path, capsys):
     assert cfg.mode == 1 and cfg.frames_per_block == 4
     rc = main(["-i", cfg_path, "info", raw_file, "--blocks", "2"])
     assert rc == 0
+
+
+def test_cli_device_source_unavailable():
+    """Live-device specs resolve to the device layer and exit cleanly when
+    no hardware is attached (null-device fallback semantics)."""
+    import pytest
+    from dabjax.cli import open_source
+    with pytest.raises(SystemExit, match="unavailable"):
+        open_source("rtlsdr:12C")
