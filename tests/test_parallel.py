@@ -82,3 +82,37 @@ def test_entry_compiles():
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_multihost_channel_assignment():
+    from dabjax.parallel.multihost import assign_channels
+    chans = ["12C", "5A", "7D", "11B", "13F"]
+    a0 = assign_channels(chans, 2, 0)
+    a1 = assign_channels(chans, 2, 1)
+    assert sorted(a0 + a1) == sorted(chans)
+    assert not set(a0) & set(a1)
+    # single process owns everything; init is a no-op
+    assert assign_channels(chans, 1, 0) == sorted(chans)
+
+
+def test_multihost_run_channels_local():
+    import numpy as np
+    from dabjax.parallel.multihost import run_channels
+    from dabjax.io.sources import SyntheticSource
+    from dabjax.runtime.config import ReceiverConfig
+    from dabjax.tx.fig import ServiceSpec
+    from dabjax.tx.modulator import Modulator
+
+    def factory():
+        svc = [ServiceSpec(label="MH", sid=0x7001, subch_id=1, start_addr=0,
+                           bitrate=32, protection="EEP-B", prot_level=3,
+                           kind="DAB+")]
+        return SyntheticSource(Modulator(mode=2, services=svc), snr_db=30.0)
+
+    metrics = run_channels({"12C": factory, "5A": factory}, n_blocks=2,
+                           receiver_config=ReceiverConfig(
+                               mode=2, frames_per_block=4,
+                               decode_audio=False, decode_data=False))
+    assert set(metrics) == {"12C", "5A"}
+    for m in metrics.values():
+        assert m.synced and m.fic_ratio > 0.9
