@@ -72,10 +72,11 @@ def main():
     # (the 15-CIF de-interleaver warm-up is consistent from stream start in
     # the modulator); gate on a post-warm-up span to be safe.
     bits_np = np.asarray(bits)
-    for t in range(15, 20):
-        want = mod.payload_bits(0, t)
-        assert np.array_equal(bits_np[0, t], want), \
-            f"MSC decode mismatch on golden IQ at logical frame {t}"
+    for s in (0, 5, 11):
+        for t in range(15, 20):
+            want = mod.payload_bits(s, t)
+            assert np.array_equal(bits_np[s, t], want), \
+                f"MSC decode mismatch on golden IQ: subch {s} frame {t}"
 
     # Time `iters` pipeline executions inside ONE compiled program (a
     # fori_loop with a data dependency between iterations): the axon tunnel
