@@ -21,6 +21,7 @@ class ReceiverConfig:
     decode_audio: bool = True        # run MP2/AAC handlers on decoded bytes
     decode_data: bool = True         # run PAD/MOT/packet handlers
     scan_attempts: int = 5           # no-signal attempts before giving up
+    resync_after_bad_blocks: int = 2  # all-FIBs-bad blocks before notSynced
     dump_iq_path: Optional[str] = None     # raw-IQ tap (ofdm-processor dump)
     dump_audio_path: Optional[str] = None  # PCM tap (audiosink dump)
 

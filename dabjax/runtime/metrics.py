@@ -29,6 +29,7 @@ class Metrics:
     packet_crc_bad: int = 0
     rs_corrected: int = 0
     samples_processed: int = 0
+    resyncs: int = 0          # sync losses -> full re-acquisitions (§5)
     #: ewma of the measured frame length in samples (T_F + timing drift) —
     #: the clock-drift proxy shown by the reference as "avg token length"
     #: (ofdm-processor.cpp:368-380, gui.cpp display slot)

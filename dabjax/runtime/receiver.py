@@ -133,6 +133,7 @@ class Receiver:
         self._hist_valid = 0        # CIFs of real history accumulated
         self._decoder: Optional[EnsembleDecoder] = None
         self._decoder_key = None
+        self._bad_blocks = 0        # consecutive blocks with zero FIC CRCs
         self._iq_dump = None
         if self.cfg.dump_iq_path:
             from dabjax.io.iq_dump import IqDumpWriter
@@ -268,13 +269,30 @@ class Receiver:
             else 0.9 * self.metrics.avg_frame_len + 0.1 * measured)
 
         # ----- FIC -> ensemble database
+        block_ok = 0
         for f in range(F):
             for i in range(fibs_np.shape[1]):
                 if fic_ok[f, i]:
                     self.metrics.fic_crc_ok += 1
+                    block_ok += 1
                     self.db.process_fib_bits(fibs_np[f, i])
                 else:
                     self.metrics.fic_crc_bad += 1
+
+        # ----- failure detection: sync loss -> full re-acquisition (the
+        # notSynced fallback, ofdm-processor.cpp:310-316; SURVEY.md §5)
+        if block_ok == 0:
+            self._bad_blocks += 1
+            if self._bad_blocks >= self.cfg.resync_after_bad_blocks:
+                self._u0 = None
+                self._coarse_hz = 0.0
+                self._bad_blocks = 0
+                self.metrics.synced = False
+                self.metrics.resyncs += 1
+                self._hist_valid = 0
+                return True
+        else:
+            self._bad_blocks = 0
 
         # ----- MSC
         with self.profiler.stage("msc", items=F * p.T_F):

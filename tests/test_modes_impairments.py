@@ -70,3 +70,45 @@ def test_spectrum_and_constellation_taps():
     assert c.shape == (1536,)
     # DQPSK points cluster at the four diagonals
     assert np.all(np.abs(np.abs(np.real(c)) - 0.707) < 0.35)
+
+
+def test_sync_loss_recovery():
+    """Signal gap (retune/garbage) -> receiver drops sync and re-acquires
+    (the notSynced fallback, ofdm-processor.cpp:310-316)."""
+    import numpy as np
+    from dabjax.constants import get_mode
+    from dabjax.runtime.config import ReceiverConfig
+    from dabjax.runtime.receiver import Receiver
+    from dabjax.tx.fig import ServiceSpec
+    from dabjax.tx.modulator import Modulator
+
+    p = get_mode(2)
+    svc = [ServiceSpec(label="RESYNC", sid=0x5001, subch_id=2, start_addr=0,
+                       bitrate=32, protection="EEP-B", prot_level=3,
+                       kind="DAB+")]
+    mod = Modulator(mode=2, services=svc)
+    rng = np.random.default_rng(0)
+    good = mod.iq(14, snr_db=30.0)
+    # a gap of noise long enough to kill several blocks, then signal again
+    gap = 0.02 * (rng.standard_normal(6 * p.T_F)
+                  + 1j * rng.standard_normal(6 * p.T_F)).astype(np.complex64)
+    stream = np.concatenate([good[: 6 * p.T_F], gap, mod.iq(14, snr_db=30.0)])
+
+    class StreamSource:
+        def __init__(self, x):
+            self._x = x
+            self._pos = 0
+
+        def read(self, n):
+            out = self._x[self._pos: self._pos + n]
+            self._pos += out.shape[0]
+            return out
+
+    rx = Receiver(StreamSource(stream),
+                  ReceiverConfig(mode=2, frames_per_block=2,
+                                 decode_audio=False, decode_data=False))
+    m = rx.run(14)
+    assert m.resyncs >= 1, "gap must trigger a re-acquisition"
+    assert m.synced, "receiver must re-sync after the gap"
+    # FIBs decode again after the re-acquisition
+    assert m.fic_crc_ok > 12
