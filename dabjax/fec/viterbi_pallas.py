@@ -108,9 +108,10 @@ def _forward_kernel(T2, C):
             b = jnp.maximum(m01, m11)                 # select between i1s
             db = (m11 > m01).astype(jnp.int32)
             d1 = b > a
+            # dec is masked below, so pads only ever see e=0; pm may evolve
+            # freely past T2 — padded chunks are last, never re-read
             valid = base + t < T2
-            pm = jnp.where(d1, b, a)
-            pm_ref[:] = jnp.where(valid, pm, pm_ref[:])
+            pm_ref[:] = jnp.where(d1, b, a)
             d0 = jnp.where(d1, db, da)
             e = (d0 << 1) | d1.astype(jnp.int32)
             dec_ref[t] = jnp.where(valid, e, 0).astype(jnp.int8)
