@@ -8,9 +8,11 @@ re-expressed as dense MXU work instead of SIMD shuffles
   (every FIC codeword / MSC logical frame / subchannel decodes in
   lockstep),
 * **radix-4 ACS**: two trellis steps fuse into one 64->64 transition with
-  4 branches, halving the sequential chain; the predecessor gather is a
-  constant one-hot ``[256, 64]`` MXU matmul and the pair branch metrics
-  are ``S4[256, 8] @ soft2[8, B]`` — also MXU,
+  4 branches, halving the sequential chain; the predecessor "gather" is
+  an exact sublane repeat (p = (n>>2)|(e<<4)) and the pair branch metrics
+  are ``S4[256, 8] @ soft2[8, B]`` on the MXU at HIGHEST precision
+  (default f32 dots round through one bf16 pass and flip near-tie
+  decisions on noisy inputs),
 * **no per-step renormalization**: all inputs are integer-valued soft bits
   (|soft| <= 127), so path metrics stay exact integers in float32 as long
   as they remain below 2^24; the worst case 508 * (nbits + 6) is ~4.7M for
@@ -79,9 +81,9 @@ def _forward_kernel(T2, C):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    def kernel(soft_ref, p_ref, s_ref, dec_ref, pm_ref):
+    def kernel(soft_ref, s_ref, dec_ref, pm_ref):
         # grid (lane_blocks, time_chunks), time fastest.  soft_ref [C, 8, LB]
-        # (soft bits of pair steps); p_ref [256, 64]; s_ref [256, 8];
+        # (soft bits of pair steps); s_ref [256, 8];
         # dec_ref [C, 64, LB] int8 out (2-bit branch e); pm_ref [64, LB] f32
         # scratch (path metrics, exact integers), persisted across the time
         # chunks of one lane block.
@@ -95,10 +97,25 @@ def _forward_kernel(T2, C):
         base = pl.program_id(1) * C
 
         def body(t, _):
-            m = (jnp.dot(p_ref[:], pm_ref[:],
-                         preferred_element_type=jnp.float32)
-                 + jnp.dot(s_ref[:], soft_ref[t],
-                           preferred_element_type=jnp.float32))   # [256, B]
+            # Branch metrics on the MXU.  A default f32 dot rounds through
+            # one bf16 pass (8 mantissa bits) and flips near-tie decisions
+            # on noisy inputs; Precision.HIGHEST lowers poorly here (3x
+            # cost).  Instead split the soft values into two bf16-exact
+            # parts (hi = 256k with |k|<=128, lo in [-128,128]) — two
+            # cheap default-precision dots, exact for the integer-valued
+            # soft bits (|soft| < 2^15) the decode contract requires.
+            dot = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sv = soft_ref[t]                                      # [8, B]
+            hi = jnp.round(sv * (1.0 / 256.0)) * 256.0
+            bm = dot(s_ref[:], hi) + dot(s_ref[:], sv - hi)       # [256, B]
+            # predecessor row identity: with rows ordered e*64+n, the
+            # predecessor p = (n>>2)|(e<<4) satisfies 4p + (n&3) == 64e+n,
+            # so the whole [256, B] predecessor tile is pm element-repeated
+            # 4x on sublanes — exact data movement, no matmul.
+            m = jnp.repeat(pm_ref[:], 4, axis=0) + bm
             # radix-2-equivalent selection: inner max over d0 per d1,
             # then d1 over the maxima; all strict > so ties pick 0.
             m00, m01 = m[0:64, :], m[64:128, :]       # e=0 (d0=0,d1=0), e=1
@@ -202,8 +219,7 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
     s = jnp.pad(s, ((0, 2 * Tp2 - T), (0, 0), (0, Bp - B)))
     s = s.reshape(Tp2, 8, Bp)                      # pair steps
 
-    P4, S4 = _radix4_matrices()
-    P4 = jnp.asarray(P4)
+    _, S4 = _radix4_matrices()
     S4 = jnp.asarray(S4)
 
     dec = pl.pallas_call(
@@ -211,8 +227,6 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
         grid=(n_lb, n_chunks),
         in_specs=[
             pl.BlockSpec((C, 8, LB), lambda l, i: (i, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 64), lambda l, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 8), lambda l, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -222,7 +236,7 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
         out_shape=jax.ShapeDtypeStruct((Tp2, 64, Bp), jnp.int8),
         scratch_shapes=[pltpu.VMEM((64, LB), jnp.float32)],
         interpret=interpret,
-    )(s, P4, S4)
+    )(s, S4)
 
     selw = pl.pallas_call(
         _traceback_kernel(C, words),

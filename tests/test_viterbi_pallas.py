@@ -9,6 +9,20 @@ from dabjax.fec.viterbi import viterbi_decode_np
 from dabjax.fec.viterbi_pallas import viterbi_decode_pallas
 
 
+def test_pallas_high_noise_ties():
+    """Heavy noise creates near-tie path metrics; decisions must still be
+    bit-identical to the numpy decoder (this is where one-bf16-pass
+    matmul rounding diverged on hardware before the exact formulation)."""
+    nbits, shape = 768, (6,)
+    rng = np.random.default_rng(99)
+    bits = rng.integers(0, 2, shape + (nbits,), np.uint8)
+    soft = (conv.encode(bits).astype(np.float32) * 2 - 1) * 100
+    soft += np.round(rng.standard_normal(soft.shape) * 80).astype(np.float32)
+    want = viterbi_decode_np(soft, nbits)
+    got = np.asarray(viterbi_decode_pallas(soft, nbits, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("nbits,shape", [
     (768, (4,)),          # FIC codewords
     (2304, (3, 2)),       # MSC 96 kbps, [subch, frames]
