@@ -117,7 +117,11 @@ def viterbi_decode_jax(soft, nbits: int):
     lead = soft.shape[:-1]
     s = soft.reshape(lead + (T, 4)).astype(jnp.float32)
     # (T, ..., 128) branch scores — time leading for scan.
-    bs = jnp.einsum("...tk,rk->t...r", s, jnp.asarray(signs, jnp.float32))
+    # HIGHEST: a default f32 einsum on TPU rounds through one bf16 pass,
+    # which would flip near-tie branch decisions (the Pallas kernel has
+    # its own exact formulation)
+    bs = jnp.einsum("...tk,rk->t...r", s, jnp.asarray(signs, jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
 
     n = np.arange(64)
     r0 = jnp.asarray(n, jnp.int32)
