@@ -9,10 +9,11 @@ re-expressed as dense MXU work instead of SIMD shuffles
   lockstep),
 * **radix-4 ACS**: two trellis steps fuse into one 64->64 transition with
   4 branches, halving the sequential chain; the predecessor "gather" is
-  an exact sublane repeat (p = (n>>2)|(e<<4)) and the pair branch metrics
-  are ``S4[256, 8] @ soft2[8, B]`` on the MXU at HIGHEST precision
-  (default f32 dots round through one bf16 pass and flip near-tie
-  decisions on noisy inputs),
+  an exact sublane repeat (the row identity ``4p + (n&3) == 64e + n``)
+  and the pair branch metrics are one ``S4[256, 16] @ soft2[16, B]`` MXU
+  dot over a bf16-exact hi/lo split of the soft values (a plain f32 dot
+  rounds through one bf16 pass and flips near-tie decisions on noisy
+  inputs; Precision.HIGHEST lowers 3x slower),
 * **no per-step renormalization**: all inputs are integer-valued soft bits
   (|soft| <= 127), so path metrics stay exact integers in float32 as long
   as they remain below 2^24; the worst case 508 * (nbits + 6) is ~4.7M for
@@ -82,8 +83,8 @@ def _forward_kernel(T2, C):
     from jax.experimental import pallas as pl
 
     def kernel(soft_ref, s_ref, dec_ref, pm_ref):
-        # grid (lane_blocks, time_chunks), time fastest.  soft_ref [C, 8, LB]
-        # (soft bits of pair steps); s_ref [256, 8];
+        # grid (lane_blocks, time_chunks), time fastest.  soft_ref
+        # [C, 16, LB] (hi/lo split soft bits of pair steps); s_ref [256, 16];
         # dec_ref [C, 64, LB] int8 out (2-bit branch e); pm_ref [64, LB] f32
         # scratch (path metrics, exact integers), persisted across the time
         # chunks of one lane block.
@@ -100,17 +101,14 @@ def _forward_kernel(T2, C):
             # Branch metrics on the MXU.  A default f32 dot rounds through
             # one bf16 pass (8 mantissa bits) and flips near-tie decisions
             # on noisy inputs; Precision.HIGHEST lowers poorly here (3x
-            # cost).  Instead split the soft values into two bf16-exact
-            # parts (hi = 256k with |k|<=128, lo in [-128,128]) — two
-            # cheap default-precision dots, exact for the integer-valued
-            # soft bits (|soft| < 2^15) the decode contract requires.
-            dot = functools.partial(
-                jax.lax.dot_general,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sv = soft_ref[t]                                      # [8, B]
-            hi = jnp.round(sv * (1.0 / 256.0)) * 256.0
-            bm = dot(s_ref[:], hi) + dot(s_ref[:], sv - hi)       # [256, B]
+            # cost).  The caller pre-splits the soft values into two
+            # bf16-exact parts (hi = 256k with |k|<=128, lo in [-128,128])
+            # stacked on the K axis, so ONE cheap default-precision K=16
+            # dot is exact for the integer-valued soft bits (|soft| <
+            # 2^15) the decode contract requires.
+            bm = jax.lax.dot_general(
+                s_ref[:], soft_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [256, B]
             # predecessor row identity: with rows ordered e*64+n, the
             # predecessor p = (n>>2)|(e<<4) satisfies 4p + (n&3) == 64e+n,
             # so the whole [256, B] predecessor tile is pm element-repeated
@@ -208,7 +206,7 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
     Bp = _round_up(max(B, 1), LB)
     n_lb = Bp // LB
     C = chunk
-    while C > 8 and C * LB > 64 * 1024:
+    while C > 8 and C * LB > 32 * 1024:
         C //= 2
     Tp2 = _round_up(T2, C)
     n_chunks = Tp2 // C
@@ -218,17 +216,19 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
     s = jnp.moveaxis(s, 0, -1)                     # [T, 4, B]
     s = jnp.pad(s, ((0, 2 * Tp2 - T), (0, 0), (0, Bp - B)))
     s = s.reshape(Tp2, 8, Bp)                      # pair steps
+    hi = jnp.round(s * (1.0 / 256.0)) * 256.0      # bf16-exact hi/lo split
+    s = jnp.concatenate([hi, s - hi], axis=1)      # [Tp2, 16, Bp]
 
     _, S4 = _radix4_matrices()
-    S4 = jnp.asarray(S4)
+    S4 = jnp.asarray(np.concatenate([S4, S4], axis=1))   # [256, 16]
 
     dec = pl.pallas_call(
         _forward_kernel(T2, C),
         grid=(n_lb, n_chunks),
         in_specs=[
-            pl.BlockSpec((C, 8, LB), lambda l, i: (i, 0, l),
+            pl.BlockSpec((C, 16, LB), lambda l, i: (i, 0, l),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 8), lambda l, i: (0, 0),
+            pl.BlockSpec((256, 16), lambda l, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C, 64, LB), lambda l, i: (i, 0, l),
