@@ -275,14 +275,19 @@ class Mp2Decoder:
     of the reference (mp2processor.cpp:572-617) and yields PCM.
     """
 
-    def __init__(self):
+    def __init__(self, es_dump_path: "str | None" = None):
         self._buf = b""
         self._state = _SynthesisState()
         self.frames_ok = 0
         self.frames_bad = 0
         self.sample_rate = 48000
+        # raw .mp2 elementary-stream tap (mp2processor.cpp:581-583)
+        self._es_dump = open(es_dump_path, "wb") if es_dump_path else None
 
     def add_bytes(self, data: bytes) -> List[np.ndarray]:
+        if self._es_dump is not None:
+            self._es_dump.write(data)
+            self._es_dump.flush()
         self._buf += data
         out = []
         while True:

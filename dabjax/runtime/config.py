@@ -24,6 +24,7 @@ class ReceiverConfig:
     resync_after_bad_blocks: int = 2  # all-FIBs-bad blocks before notSynced
     dump_iq_path: Optional[str] = None     # raw-IQ tap (ofdm-processor dump)
     dump_audio_path: Optional[str] = None  # PCM tap (audiosink dump)
+    dump_es_path: Optional[str] = None     # MP2 elementary-stream tap
 
     def save(self, path: str) -> None:
         """Persist to JSON (the ~/.jsdr-dab.ini analog, gui.cpp:274-283)."""

@@ -61,7 +61,7 @@ class AudioService:
     """Per-service audio chain: logical frames -> PCM / AUs (+ PAD)."""
 
     def __init__(self, subch_id: int, bitrate: int, is_dab_plus: bool,
-                 metrics: Metrics):
+                 metrics: Metrics, es_dump_path=None):
         self.subch_id = subch_id
         self.is_dab_plus = is_dab_plus
         self.metrics = metrics
@@ -72,7 +72,7 @@ class AudioService:
             self.mp2 = None
         else:
             self.superframe = None
-            self.mp2 = Mp2Decoder()
+            self.mp2 = Mp2Decoder(es_dump_path=es_dump_path)
         self.pcm: List[np.ndarray] = []
 
     @property
@@ -366,7 +366,8 @@ class Receiver:
         meta = self._audio_meta(subch_id)
         if meta is not None and self.cfg.decode_audio:
             self.audio[subch_id] = AudioService(
-                subch_id, meta.bitrate, meta.is_dab_plus, self.metrics)
+                subch_id, meta.bitrate, meta.is_dab_plus, self.metrics,
+                es_dump_path=self.cfg.dump_es_path)
             self.audio[subch_id].add_logical_frame(bits)
             return
         if self.cfg.decode_data and self.data_handler_factory is not None:
