@@ -78,10 +78,10 @@ def _build_receiver(args, service: Optional[str] = None):
     return Receiver(open_source(args.source), cfg)
 
 
-def _print_db(r) -> None:
+def _print_db(r, file=None) -> None:
     db = r.db
     print(f"ensemble: {db.ensemble_label!r} (EId {db.ensemble_id:04X})  "
-          f"{r.metrics.dashboard()}")
+          f"{r.metrics.dashboard()}", file=file)
     for svc in db.services.values():
         if not svc.has_label:
             continue
@@ -90,13 +90,14 @@ def _print_db(r) -> None:
             kind = "DAB+" if ad.is_dab_plus else "DAB"
             print(f"  {svc.label:<16} SId={svc.sid:04X} {kind:>6} "
                   f"{ad.bitrate:3d}kbps subch={ad.subch_id:2d} "
-                  f"start={ad.start_addr:3d} len={ad.length:3d}CU")
+                  f"start={ad.start_addr:3d} len={ad.length:3d}CU",
+                  file=file)
             continue
         pd = db.data_for_data_service(svc.label)
         if pd is not None:
             print(f"  {svc.label:<16} SId={svc.sid:04X} packet "
                   f"DSCTy={pd.dscty} subch={pd.subch_id:2d} "
-                  f"addr={pd.packet_address}")
+                  f"addr={pd.packet_address}", file=file)
 
 
 def cmd_info(args) -> int:
@@ -112,12 +113,14 @@ def cmd_info(args) -> int:
 def cmd_decode(args) -> int:
     from dabjax.io.audio_out import WavSink
     from dabjax.audio.aac import sample_rate as aac_rate
+    # with --out -, stdout carries raw PCM: all text goes to stderr
+    info = sys.stderr if args.out == "-" else sys.stdout
     r = _build_receiver(args, service=args.service)
     r.run(args.blocks)
     if not r.metrics.synced:
-        print("no DAB signal found")
+        print("no DAB signal found", file=info)
         return 1
-    _print_db(r)
+    _print_db(r, file=info)
     rc = 1
     for subch_id, svc in r.audio.items():
         rc = 0
@@ -126,24 +129,32 @@ def cmd_decode(args) -> int:
                     else aac_rate(svc.superframe.header.dac_rate,
                                   svc.superframe.header.sbr_flag))
             out = args.out or "audio.wav"
-            with WavSink(out) as w:
+            if out == "-":                 # live: raw PCM to stdout (aplay)
+                from dabjax.io.audio_out import PcmPipeSink
+                w = PcmPipeSink(sys.stdout.buffer)
                 w.write(np.concatenate(svc.pcm), rate)
-            print(f"subch {subch_id}: wrote {w.frames_written} PCM frames "
-                  f"-> {out}")
+                print(f"subch {subch_id}: streamed {w.frames_written} PCM "
+                      "frames to stdout", file=sys.stderr)
+            else:
+                with WavSink(out) as w:
+                    w.write(np.concatenate(svc.pcm), rate)
+                print(f"subch {subch_id}: wrote {w.frames_written} PCM "
+                      f"frames -> {out}", file=info)
         elif svc.is_dab_plus and svc.aac.aus:
             out = (args.out or "audio.aus")
             with open(out, "wb") as f:
                 for au in svc.aac.aus:
                     f.write(au)
             print(f"subch {subch_id}: wrote {len(svc.aac.aus)} AAC AUs "
-                  f"-> {out} (no host AAC codec in this image)")
+                  f"-> {out} (no host AAC codec in this image)", file=info)
         if svc.dynamic_label:
-            print(f"subch {subch_id}: dynamic label: {svc.dynamic_label!r}")
+            print(f"subch {subch_id}: dynamic label: {svc.dynamic_label!r}",
+                  file=info)
         for obj in svc.slides:
             path = f"slide_{obj.transport_id:04x}_{obj.name or 'unnamed'}"
             with open(path, "wb") as f:
                 f.write(obj.body)
-            print(f"subch {subch_id}: MOT slide -> {path}")
+            print(f"subch {subch_id}: MOT slide -> {path}", file=info)
     for subch_id, h in r.data_handlers.items():
         rc = 0
         objs = getattr(getattr(h, "handler", None), "objects", [])
@@ -151,10 +162,10 @@ def cmd_decode(args) -> int:
             path = f"mot_{obj.transport_id:04x}_{obj.name or 'unnamed'}"
             with open(path, "wb") as f:
                 f.write(obj.body)
-            print(f"subch {subch_id}: MOT object -> {path}")
+            print(f"subch {subch_id}: MOT object -> {path}", file=info)
         if hasattr(h, "error_rate"):
             print(f"subch {subch_id}: packet error rate "
-                  f"{100 * h.error_rate:.1f}%")
+                  f"{100 * h.error_rate:.1f}%", file=info)
     if args.json:
         print(json.dumps(r.metrics.as_dict()))
     return rc

@@ -118,3 +118,42 @@ class WavSink:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class PcmPipeSink:
+    """Raw PCM to a byte stream — the live-playback analog of the
+    reference's PortAudio callback (``audiosink.cpp:197-220``): pipe into
+    ``aplay -f S16_LE -r 48000 -c 2`` (or any player) for live audio.
+
+    Same resample-to-48 kHz stereo int16 contract as :class:`WavSink`.
+    """
+
+    def __init__(self, stream):
+        self._stream = stream          # binary file object (e.g. stdout)
+        self.frames_written = 0
+
+    def write(self, pcm: np.ndarray, rate: int = OUTPUT_RATE) -> None:
+        x = np.asarray(pcm)
+        if x.ndim == 1:
+            x = x[:, None]
+        if x.shape[1] == 1:
+            x = np.repeat(x, 2, axis=1)
+        if x.dtype == np.int16:
+            x = x.astype(np.float32) / 32768.0
+        x = resample_to_48k(x[:, :2], rate)
+        ints = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+        self._stream.write(ints.tobytes())
+        try:
+            self._stream.flush()
+        except Exception:
+            pass
+        self.frames_written += ints.shape[0]
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

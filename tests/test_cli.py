@@ -159,3 +159,13 @@ def test_cli_device_source_unavailable():
     from dabjax.cli import open_source
     with pytest.raises(SystemExit, match="unavailable"):
         open_source("rtlsdr:12C")
+
+
+def test_cli_decode_pcm_to_stdout(raw_file, capsysbinary):
+    """--out - streams raw 48 kHz stereo int16 PCM (live playback pipe)."""
+    rc = main(["decode", raw_file, "--service", "CLITEST",
+               "--out", "-", "--blocks", "2"])
+    captured = capsysbinary.readouterr()
+    assert rc == 0
+    assert len(captured.out) > 40000          # PCM bytes present
+    assert len(captured.out) % 4 == 0         # whole stereo int16 frames
