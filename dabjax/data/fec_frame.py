@@ -90,6 +90,8 @@ class FecFrameDecoder:
         self.on_packet = on_packet
         self._app = bytearray()
         self._pkts: List[bytes] = []
+        self._carry = 0      # leading bytes of _app owned by a packet that
+        #                      straddled the previous frame boundary
         self._parity = np.zeros((_FEC_PACKETS, _FEC_PAYLOAD), np.uint8)
         self._have = np.zeros(_FEC_PACKETS, bool)
         self.rows_corrected = 0
@@ -111,7 +113,10 @@ class FecFrameDecoder:
             return
         self._pkts.append(bytes(pkt))
         self._app.extend(pkt)
-        if len(self._app) > _APP_BYTES:        # lost FEC packets: pass thru
+        # A frame's FEC packets follow right after the data that fills it
+        # (a packet may straddle the boundary); only a full extra frame of
+        # data with no parity means the stream carries no FEC packets.
+        if len(self._app) >= 2 * _APP_BYTES:   # lost FEC packets: pass thru
             self._passthrough()
 
     def _passthrough(self) -> None:
@@ -119,6 +124,7 @@ class FecFrameDecoder:
             self.on_packet(q)
         self._pkts.clear()
         self._app.clear()
+        self._carry = 0
         self._have[:] = False
 
     def _flush(self) -> None:
@@ -134,15 +140,21 @@ class FecFrameDecoder:
         self.rows_corrected += int((ncorr > 0).sum())
         self.rows_failed += int((ncorr < 0).sum())
         fixed = data.T.reshape(-1).tobytes()           # column-wise readback
-        # re-slice into the original packet lengths
-        off = 0
+        # re-slice into the original packet lengths; the first _carry bytes
+        # belong to a packet that straddled the previous frame (already
+        # delivered uncorrected), and a packet straddling THIS frame's end
+        # is delivered uncorrected now and skipped next time via _carry.
+        off = self._carry
+        new_carry = 0
         for q in self._pkts:
             ln = len(q)
             if off + ln <= _APP_BYTES:
                 self.on_packet(fixed[off: off + ln])
             else:
                 self.on_packet(q)
+                new_carry = off + ln - _APP_BYTES
             off += ln
         self._pkts.clear()
+        self._carry = new_carry
         del self._app[:_APP_BYTES]
         self._have[:] = False
