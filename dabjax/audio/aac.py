@@ -50,34 +50,83 @@ def sample_rate(dac_rate: int, sbr_flag: int) -> int:
            (16000 if sbr_flag else 32000)
 
 
-class AacSink:
-    """AU collector + optional PCM decode hook.
+def decode_au_hook() -> Optional[Callable]:
+    """Default AU->PCM decoder: the framework's own AAC-LC (960) core
+    (:mod:`dabjax.audio.aac_lc`), stateful per stream.
 
-    ``decoder``: optional callable ``(asc: bytes, au: bytes) -> np.ndarray``
-    returning int16 PCM frames [n, channels]; when absent the sink still
-    records the elementary stream (decodable offline), mirroring the
-    reference's .mp4 dump path (msc-handler.cpp setFiles).
+    Returns a callable ``(asc: bytes, au: bytes) -> np.ndarray [n, ch]``
+    (float32 in [-1, 1]) or ``None`` when the core decoder is missing —
+    the sink then still records the elementary stream.
+    """
+    try:
+        from dabjax.audio.aac_lc import AacLcDecoder
+    except ImportError:                      # pragma: no cover
+        return None
+    state = {}
+
+    def decode(asc: bytes, au: bytes):
+        dec = state.get(asc)
+        if dec is None:
+            dec = state[asc] = AacLcDecoder.from_asc(asc)
+        return dec.decode_au(au)
+
+    return decode
+
+
+class AacSink:
+    """AU collector + PCM decode.
+
+    ``decoder``: callable ``(asc: bytes, au: bytes) -> np.ndarray`` PCM
+    frames [n, channels] (float32 [-1,1] or int16), or None to only
+    record the elementary stream (the reference's .mp4 dump path,
+    msc-handler.cpp setFiles).  Defaults to the framework AAC-LC core
+    via :func:`decode_au_hook` — the faadDecoder::MP42PCM analog
+    (faad-decoder.h:124-165).
     """
 
-    def __init__(self, decoder: Optional[Callable] = None):
-        self.decoder = decoder
+    _DEFAULT = object()
+
+    def __init__(self, decoder: Optional[Callable] = _DEFAULT):
+        self.decoder = decode_au_hook() if decoder is AacSink._DEFAULT \
+            else decoder
         self.aus: List[bytes] = []
         self.pcm: List[np.ndarray] = []
         self.config: Optional[bytes] = None
         self.rate: int = 48000
+        self.sbr_flag: int = 0
+        self.decode_errors: int = 0
 
     def configure(self, dac_rate: int, sbr_flag: int, mpeg_surround: int,
                   aac_channel_mode: int):
         self.config = audio_specific_config(
             dac_rate, sbr_flag, mpeg_surround, aac_channel_mode)
+        self.sbr_flag = sbr_flag
         self.rate = sample_rate(dac_rate, sbr_flag) * (2 if sbr_flag else 1)
 
-    def add_au(self, au: bytes):
+    def add_au(self, au: bytes) -> Optional[np.ndarray]:
+        """Collect one AU; return its decoded PCM [n, ch] (or None)."""
+        au = bytes(au)
         self.aus.append(au)
-        if self.decoder is not None and self.config is not None:
+        if self.decoder is None or self.config is None:
+            return None
+        try:
             out = self.decoder(self.config, au)
-            if out is not None:
-                self.pcm.append(np.asarray(out, np.int16))
+        except Exception:
+            self.decode_errors += 1
+            return None
+        if out is None:
+            return None
+        out = np.asarray(out)
+        if out.dtype == np.int16:
+            out = out.astype(np.float32) / 32768.0
+        if self.sbr_flag:
+            # SBR pass-through: the HF reconstruction of the SBR extension
+            # is not synthesized; core PCM is resampled 2x to the output
+            # rate so timing and pitch are correct (documented limitation
+            # vs faad-decoder.h which runs full HE-AAC).
+            out = np.repeat(out.reshape(out.shape[0], -1), 2, axis=0)
+        self.pcm.append(out)
+        return out
 
     def elementary_stream(self) -> bytes:
         return b"".join(self.aus)

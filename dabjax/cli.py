@@ -167,7 +167,7 @@ def cmd_decode(args) -> int:
             print(f"subch {subch_id}: packet error rate "
                   f"{100 * h.error_rate:.1f}%", file=info)
     if args.json:
-        print(json.dumps(r.metrics.as_dict()))
+        print(json.dumps(r.metrics.as_dict()), file=info)
     return rc
 
 

@@ -207,7 +207,7 @@ class AirspySource:
                          key=lambda r: abs(r - INPUT_RATE),
                          default=INPUT_RATE)
         lib.airspy_set_samplerate(self._dev, self._rate)
-        lib.airspy_set_sample_type(self._dev, 2)     # FLOAT32_IQ
+        lib.airspy_set_sample_type(self._dev, 0)     # AIRSPY_SAMPLE_FLOAT32_IQ
         lib.airspy_set_linearity_gain(self._dev, linearity_gain)
         if frequency_hz:
             self.set_frequency(frequency_hz)
@@ -268,17 +268,18 @@ class SdrplaySource:
     def __init__(self, frequency_hz: int = 0, gain_reduction: int = 40):
         self._lib = _load_lib("mirsdrapi-rsp", "mir_sdr_api")
         lib = self._lib
+        # mir_sdr_Init(gRdB, fsMHz, rfMHz, bwType, ifType, int* sps)
+        # per sdrplay-loader.h:48 / sdrplay-worker.cpp:74 — bwType 1536
+        # (mir_sdr_BW_1_536), ifType 0 (mir_sdr_IF_Zero).
         lib.mir_sdr_Init.argtypes = [ctypes.c_int, ctypes.c_double,
-                                     ctypes.c_double,
-                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.c_double, ctypes.c_int,
+                                     ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_int)]
         self._gr = gain_reduction
         self._freq_mhz = frequency_hz / 1e6 if frequency_hz else 220.0
         sps = ctypes.c_int()
-        grc = ctypes.c_int()
-        # bandwidth 1.536 MHz, IF zero: mir_sdr_Init(gr, 2.048, f, ...)
         r = lib.mir_sdr_Init(self._gr, 2.048, self._freq_mhz,
-                             ctypes.byref(grc), ctypes.byref(sps))
+                             1536, 0, ctypes.byref(sps))
         if r != 0:
             raise DeviceUnavailable(f"mir_sdr_Init failed ({r})")
         self._sps = sps.value
@@ -356,7 +357,9 @@ class UhdSource:
 
     def set_frequency(self, hz: int) -> None:
         import uhd
-        self._usrp.set_rx_center_freq(uhd.types.TuneRequest(float(hz)), 0)
+        # Python MultiUSRP mirrors C++ set_rx_freq (uhd-input.cpp:175);
+        # there is no set_rx_center_freq in the uhd Python API.
+        self._usrp.set_rx_freq(uhd.types.TuneRequest(float(hz)), 0)
 
     def read(self, n: int) -> np.ndarray:
         uhd = self._uhd

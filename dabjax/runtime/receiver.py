@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dabjax.constants import CIF_BITS, get_mode
-from dabjax.audio.aac import AacSink
+from dabjax.audio.aac import AacSink, decode_au_hook
 from dabjax.audio.mp2 import Mp2Decoder
 from dabjax.audio.mp4 import SuperframeDecoder
 from dabjax.fic.fib import EnsembleDB
@@ -57,23 +57,48 @@ def default_data_handler_factory(db: EnsembleDB, subch_id: int):
     return None
 
 
+def _per_subch_path(path: Optional[str], subch_id: int) -> Optional[str]:
+    """Suffix a dump path with the subchannel id so concurrent services
+    never truncate each other's tap (``tap.mp2`` -> ``tap.3.mp2``)."""
+    if path is None:
+        return None
+    import os
+    stem, ext = os.path.splitext(path)
+    return f"{stem}.{subch_id}{ext}"
+
+
 class AudioService:
     """Per-service audio chain: logical frames -> PCM / AUs (+ PAD)."""
 
     def __init__(self, subch_id: int, bitrate: int, is_dab_plus: bool,
-                 metrics: Metrics, es_dump_path=None):
+                 metrics: Metrics, es_dump_path=None, pcm_dump_path=None):
         self.subch_id = subch_id
         self.is_dab_plus = is_dab_plus
         self.metrics = metrics
         self.pad = PadHandler()
+        es_dump_path = _per_subch_path(es_dump_path, subch_id)
         if is_dab_plus:
             self.superframe = SuperframeDecoder(bitrate)
-            self.aac = AacSink()
+            self.aac = AacSink(decoder=decode_au_hook())
             self.mp2 = None
+            self._es_dump = (open(es_dump_path, "wb")
+                             if es_dump_path else None)
         else:
             self.superframe = None
             self.mp2 = Mp2Decoder(es_dump_path=es_dump_path)
+            self._es_dump = None
+        # PCM tap (the audiosink WAV-dump path, gui.cpp:961-996)
+        self._pcm_dump_path = _per_subch_path(pcm_dump_path, subch_id)
+        self._pcm_sink = None
         self.pcm: List[np.ndarray] = []
+
+    def _emit_pcm(self, pcm: np.ndarray, rate: int):
+        self.pcm.append(pcm)
+        if self._pcm_dump_path is not None:
+            if self._pcm_sink is None:
+                from dabjax.io.audio_out import WavSink
+                self._pcm_sink = WavSink(self._pcm_dump_path)
+            self._pcm_sink.write(pcm, rate)
 
     @property
     def dynamic_label(self) -> str:
@@ -96,7 +121,11 @@ class AudioService:
                     self.aac.configure(hdr.dac_rate, hdr.sbr_flag,
                                        hdr.mpeg_surround,
                                        hdr.aac_channel_mode)
-                    self.aac.add_au(au.data)
+                    pcm = self.aac.add_au(au.data)
+                    if pcm is not None and pcm.size:
+                        self._emit_pcm(pcm, self.aac.rate)
+                    if self._es_dump is not None:
+                        self._es_dump.write(bytes(au.data))
                 else:
                     self.metrics.au_bad += 1
             self.metrics.superframes_ok = self.superframe.superframes_ok
@@ -104,7 +133,7 @@ class AudioService:
             self.metrics.rs_corrected = self.superframe.rs_corrected
         else:
             for pcm in self.mp2.add_bytes(data.tobytes()):
-                self.pcm.append(pcm)
+                self._emit_pcm(pcm, self.mp2.sample_rate)
             self.metrics.mp2_frames_ok = self.mp2.frames_ok
             self.metrics.mp2_frames_bad = self.mp2.frames_bad
 
@@ -367,7 +396,8 @@ class Receiver:
         if meta is not None and self.cfg.decode_audio:
             self.audio[subch_id] = AudioService(
                 subch_id, meta.bitrate, meta.is_dab_plus, self.metrics,
-                es_dump_path=self.cfg.dump_es_path)
+                es_dump_path=self.cfg.dump_es_path,
+                pcm_dump_path=self.cfg.dump_audio_path)
             self.audio[subch_id].add_logical_frame(bits)
             return
         if self.cfg.decode_data and self.data_handler_factory is not None:

@@ -143,7 +143,9 @@ def test_mp2_es_dump_tap(tmp_path):
     rx = Receiver(SyntheticSource(mod, snr_db=30.0),
                   ReceiverConfig(frames_per_block=4, dump_es_path=es_path))
     rx.run(3)
-    data = open(es_path, "rb").read()
+    # the tap is suffixed per subchannel so concurrent services never
+    # truncate each other's stream (ADVICE round 1)
+    data = open(str(tmp_path / "tap.8.mp2"), "rb").read()
     assert len(data) > 1000
     # the recorded stream decodes standalone
     dec = Mp2Decoder()
