@@ -1,0 +1,693 @@
+"""AAC-LC core decoder with the DAB+ 960-sample transform.
+
+This replaces the reference's libfaad2 binding
+(``/root/reference/includes/backend/audio/faad-decoder.h:28-165``) with an
+own decoder, because no codec in this image handles the 960/120 MDCT that
+DAB+ mandates (ETSI TS 102 563 §5.1: frameLengthFlag=1).  Scope:
+
+* full AAC-LC syntax: SCE/CPE/LFE/DSE/PCE/FIL elements, section data,
+  scalefactors, all 11 spectral Huffman codebooks (+ escapes), pulse data,
+  TNS, PNS (noise substitution), M/S and intensity stereo;
+* both frame lengths — 1024 (lets the decoder be cross-checked against
+  libavcodec, which only does 1024) and 960 (the DAB+ transform);
+* the filterbank (IMDCT + window overlap-add) is expressed as dense
+  matmuls over precomputed cosine bases — the same batched-matmul recipe
+  as the MP2 synthesis filterbank (dabjax/audio/mp2.py), host-side numpy
+  here because audio AUs are control-plane bytes (CLAUDE.md invariants).
+
+Not synthesized: the SBR extension (HE-AAC).  SBR payload rides in FIL
+elements and is skipped; the AacSink upsamples core PCM 2x so timing and
+pitch stay correct (documented pass-through, see dabjax/audio/aac.py).
+
+Normative tables come byte-exact from ISO/IEC 14496-3 via
+``tools/extract_aac_tables.py`` (see ``_aac_tables.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from dabjax.audio import _aac_tables as T
+
+__all__ = ["AacLcDecoder", "BitReader", "parse_asc"]
+
+# window sequences
+ONLY_LONG, LONG_START, EIGHT_SHORT, LONG_STOP = 0, 1, 2, 3
+# section codebooks
+ZERO_HCB, ESC_HCB, NOISE_HCB, INTENSITY_HCB2, INTENSITY_HCB = 0, 11, 13, 14, 15
+SF_OFFSET = 100
+
+
+# --------------------------------------------------------------------- bits
+
+
+class BitReader:
+    """MSB-first bit reader over a byte string."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(bytes(data), np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > self.bits.shape[0]:
+            raise EOFError("bitstream exhausted")
+        self.pos = p + n
+        v = 0
+        for b in self.bits[p: p + n]:
+            v = (v << 1) | int(b)
+        return v
+
+    def read1(self) -> int:
+        p = self.pos
+        if p >= self.bits.shape[0]:
+            raise EOFError("bitstream exhausted")
+        self.pos = p + 1
+        return int(self.bits[p])
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    @property
+    def remaining(self) -> int:
+        return self.bits.shape[0] - self.pos
+
+
+# ------------------------------------------------------------------ huffman
+
+
+class Huffman:
+    """Canonical (length, code) -> symbol decoder built from spec tables."""
+
+    def __init__(self, codes, lengths):
+        self.table = {}
+        self.min_len = min(lengths)
+        self.max_len = max(lengths)
+        for i, (c, ln) in enumerate(zip(codes, lengths)):
+            self.table[(ln, int(c))] = i
+
+    def decode(self, br: BitReader) -> int:
+        code = br.read(self.min_len)
+        ln = self.min_len
+        while (ln, code) not in self.table:
+            code = (code << 1) | br.read1()
+            ln += 1
+            if ln > self.max_len:
+                raise ValueError("invalid Huffman codeword")
+        return self.table[(ln, code)]
+
+
+_SPECTRAL = [Huffman(T.SPECTRAL_CODES[i], T.SPECTRAL_BITS[i])
+             for i in range(11)]
+_SCALEFACTOR = Huffman(T.SCALEFACTOR_CODE, T.SCALEFACTOR_BITS)
+
+
+def _unpack_tuple(cb: int, idx: int) -> Tuple[int, ...]:
+    """Spectral codeword index -> coefficient tuple (Table 4.131 layout)."""
+    dim, lav, signed = T.CODEBOOK_META[cb - 1]
+    mod = 2 * lav + 1 if signed else lav + 1
+    off = lav if signed else 0
+    vals = []
+    for _ in range(dim):
+        vals.append(idx % mod - off)
+        idx //= mod
+    return tuple(reversed(vals))
+
+
+# ------------------------------------------------------------------ windows
+
+
+def _sine_window(n: int) -> np.ndarray:
+    """Rising half (length n) of the 2n-point sine window."""
+    return np.sin(np.pi / (2 * n) * (np.arange(n) + 0.5))
+
+
+def _kbd_window(n: int, alpha: float) -> np.ndarray:
+    """Kaiser-Bessel derived window (rising half, length n)."""
+    kernel = np.i0(np.pi * alpha * np.sqrt(
+        1.0 - (2.0 * np.arange(n + 1) / n - 1.0) ** 2))
+    cum = np.cumsum(kernel)
+    return np.sqrt(cum[:n] / cum[n])
+
+
+def _imdct_matrix(n_half: int) -> np.ndarray:
+    """[n_half, 2*n_half] IMDCT basis: x = (2/N) * M^T @ X."""
+    n = 2 * n_half
+    n0 = (n_half + 1) / 2.0
+    k = np.arange(n_half)[:, None]
+    t = np.arange(n)[None, :]
+    return ((2.0 / n) * np.cos(2.0 * np.pi / n * (t + n0) * (k + 0.5))
+            ).astype(np.float64)
+
+
+class _Filterbank:
+    """IMDCT + window sequence overlap-add for one frame length."""
+
+    def __init__(self, frame_len: int):
+        self.nlong = frame_len
+        self.nshort = frame_len // 8
+        self.nflat = (self.nlong - self.nshort) // 2
+        self.imdct_long = _imdct_matrix(self.nlong)
+        self.imdct_short = _imdct_matrix(self.nshort)
+        self.win_long = (_sine_window(self.nlong),
+                         _kbd_window(self.nlong, 4.0))
+        self.win_short = (_sine_window(self.nshort),
+                          _kbd_window(self.nshort, 6.0))
+
+    def process(self, spec: np.ndarray, window_sequence: int,
+                shape: int, prev_shape: int, overlap: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """spec: [nlong] (long) or [8, nshort] (short) coefficients.
+
+        Returns (pcm[nlong], new_overlap[nlong]).
+        """
+        nl, ns, nf = self.nlong, self.nshort, self.nflat
+        wl, wl_prev = self.win_long[shape], self.win_long[prev_shape]
+        ws, ws_prev = self.win_short[shape], self.win_short[prev_shape]
+        if window_sequence == EIGHT_SHORT:
+            bufs = spec @ self.imdct_short           # [8, 2*ns]
+            tmp = np.zeros(2 * nl)
+            for j in range(8):
+                w1 = ws_prev if j == 0 else ws
+                b = bufs[j].copy()
+                b[:ns] *= w1
+                b[ns:] *= ws[::-1]
+                start = nf + j * ns
+                tmp[start: start + 2 * ns] += b
+            pcm = overlap + tmp[:nl]
+            new_overlap = tmp[nl:]
+            return pcm, new_overlap
+
+        buf = self.imdct_long.T @ spec               # [2*nl]
+        first = buf[:nl].copy()
+        second = buf[nl:].copy()
+        if window_sequence in (ONLY_LONG, LONG_START):
+            first *= wl_prev
+        else:                                        # LONG_STOP
+            first[:nf] = 0.0
+            first[nf: nf + ns] *= ws_prev
+            # flat 1.0 afterwards
+        if window_sequence in (ONLY_LONG, LONG_STOP):
+            second *= wl[::-1]
+        else:                                        # LONG_START
+            second[nf: nf + ns] *= ws[::-1]
+            second[nf + ns:] = 0.0
+            # flat 1.0 before nf
+        return overlap + first, second
+
+
+# ------------------------------------------------------------------- syntax
+
+
+@dataclass
+class IcsInfo:
+    window_sequence: int = ONLY_LONG
+    window_shape: int = 0
+    max_sfb: int = 0
+    num_windows: int = 1
+    num_window_groups: int = 1
+    group_len: List[int] = field(default_factory=lambda: [1])
+    swb_offset: List[int] = field(default_factory=list)
+    num_swb: int = 0
+    tns_max_bands: int = 0
+
+
+@dataclass
+class ChannelData:
+    ics: IcsInfo
+    band_type: np.ndarray          # [groups, max_sfb] codebook per band
+    scalefactors: np.ndarray       # [groups, max_sfb]
+    coeffs: np.ndarray             # [num_windows, frame_len/8 or frame_len]
+    tns: Optional[dict] = None
+
+
+def parse_asc(asc: bytes) -> Tuple[int, int, int, int]:
+    """AudioSpecificConfig -> (object_type, sr_index, channels, frame_len).
+
+    Mirrors the 2-byte ASC the reference builds (faad-decoder.h:106-110);
+    handles the general GASpecificConfig head for robustness.
+    """
+    br = BitReader(asc)
+    aot = br.read(5)
+    if aot == 31:
+        aot = 32 + br.read(6)
+    sr_index = br.read(4)
+    if sr_index == 15:
+        br.read(24)
+    channels = br.read(4)
+    if aot == 5:                       # explicit SBR: read extension config
+        br.read(4)                     # extensionSamplingFrequencyIndex
+        aot = br.read(5)
+    frame_len = 960 if br.read1() else 1024
+    return aot, sr_index, channels, frame_len
+
+
+class AacLcDecoder:
+    """Stateful AAC-LC raw_data_block decoder (one stream)."""
+
+    def __init__(self, sr_index: int, channels: int, frame_len: int = 960):
+        if frame_len not in (960, 1024):
+            raise ValueError(f"frame length {frame_len} unsupported")
+        self.sr_index = sr_index
+        self.channels = channels
+        self.frame_len = frame_len
+        self.fb = _Filterbank(frame_len)
+        swb_l = {960: T.SWB_OFFSET_960, 1024: T.SWB_OFFSET_1024}[frame_len]
+        swb_s = {960: T.SWB_OFFSET_120, 1024: T.SWB_OFFSET_128}[frame_len]
+        num_l = {960: T.NUM_SWB_960, 1024: T.NUM_SWB_1024}[frame_len]
+        num_s = {960: T.NUM_SWB_120, 1024: T.NUM_SWB_128}[frame_len]
+        self.swb_long = swb_l[sr_index]
+        self.swb_short = swb_s[sr_index]
+        self.num_swb_long = num_l[sr_index]
+        self.num_swb_short = num_s[sr_index]
+        # TNS band limit: spec values exist per frame length 1024/128; for
+        # 960 the limit is the 1024 value clamped to num_swb (FFmpeg's
+        # aacdec does the same clamping for non-1024 frame lengths).
+        self.tns_max_long = min(T.TNS_MAX_BANDS_1024[sr_index],
+                                self.num_swb_long)
+        self.tns_max_short = min(T.TNS_MAX_BANDS_128[sr_index],
+                                 self.num_swb_short)
+        self._overlap = np.zeros((max(channels, 1), frame_len))
+        self._prev_shape = [0] * max(channels, 1)
+        self._rng = np.random.default_rng(0x5EED)
+
+    @classmethod
+    def from_asc(cls, asc: bytes) -> "AacLcDecoder":
+        aot, sr_index, channels, frame_len = parse_asc(asc)
+        if aot not in (2, 5):          # LC core (5 = SBR-wrapped LC)
+            raise ValueError(f"audioObjectType {aot} unsupported (LC only)")
+        return cls(sr_index, channels, frame_len)
+
+    # ------------------------------------------------------------ ics_info
+
+    def _ics_info(self, br: BitReader) -> IcsInfo:
+        ics = IcsInfo()
+        br.read1()                                   # ics_reserved_bit
+        ics.window_sequence = br.read(2)
+        ics.window_shape = br.read1()
+        if ics.window_sequence == EIGHT_SHORT:
+            ics.max_sfb = br.read(4)
+            grouping = br.read(7)
+            ics.num_windows = 8
+            ics.group_len = [1]
+            for b in range(6, -1, -1):
+                if (grouping >> b) & 1:
+                    ics.group_len[-1] += 1
+                else:
+                    ics.group_len.append(1)
+            ics.num_window_groups = len(ics.group_len)
+            ics.swb_offset = self.swb_short
+            ics.num_swb = self.num_swb_short
+            ics.tns_max_bands = self.tns_max_short
+        else:
+            ics.max_sfb = br.read(6)
+            ics.num_windows = 1
+            ics.num_window_groups = 1
+            ics.group_len = [1]
+            ics.swb_offset = self.swb_long
+            ics.num_swb = self.num_swb_long
+            ics.tns_max_bands = self.tns_max_long
+            if br.read1():                           # predictor_data_present
+                raise ValueError("MAIN prediction not valid in AAC-LC")
+        if ics.max_sfb > ics.num_swb:
+            raise ValueError(f"max_sfb {ics.max_sfb} > num_swb {ics.num_swb}")
+        return ics
+
+    # ------------------------------------------------------- section data
+
+    def _section_data(self, br: BitReader, ics: IcsInfo) -> np.ndarray:
+        bits = 3 if ics.window_sequence == EIGHT_SHORT else 5
+        esc = (1 << bits) - 1
+        band_type = np.zeros((ics.num_window_groups, ics.max_sfb), np.int32)
+        for g in range(ics.num_window_groups):
+            k = 0
+            while k < ics.max_sfb:
+                cb = br.read(4)
+                run = 0
+                while True:
+                    incr = br.read(bits)
+                    run += incr
+                    if incr != esc:
+                        break
+                if k + run > ics.max_sfb:
+                    raise ValueError("section overruns max_sfb")
+                band_type[g, k: k + run] = cb
+                k += run
+        return band_type
+
+    # -------------------------------------------------------- scalefactors
+
+    def _scale_factor_data(self, br: BitReader, ics: IcsInfo,
+                           band_type: np.ndarray, global_gain: int
+                           ) -> np.ndarray:
+        sf = np.zeros((ics.num_window_groups, ics.max_sfb), np.float64)
+        offset = [global_gain, global_gain - 90, 0]   # regular, noise, IS
+        noise_pcm = True
+        for g in range(ics.num_window_groups):
+            for b in range(ics.max_sfb):
+                cb = band_type[g, b]
+                if cb == ZERO_HCB:
+                    continue
+                if cb in (INTENSITY_HCB, INTENSITY_HCB2):
+                    offset[2] += _SCALEFACTOR.decode(br) - 60
+                    sf[g, b] = offset[2]
+                elif cb == NOISE_HCB:
+                    if noise_pcm:
+                        noise_pcm = False
+                        offset[1] += br.read(9) - 256
+                    else:
+                        offset[1] += _SCALEFACTOR.decode(br) - 60
+                    sf[g, b] = offset[1]
+                else:
+                    offset[0] += _SCALEFACTOR.decode(br) - 60
+                    if not 0 <= offset[0] <= 255:
+                        raise ValueError(f"scalefactor {offset[0]} out of "
+                                         "range")
+                    sf[g, b] = offset[0]
+        return sf
+
+    # --------------------------------------------------------------- pulse
+
+    @staticmethod
+    def _pulse_data(br: BitReader) -> dict:
+        n = br.read(2) + 1
+        start_sfb = br.read(6)
+        offsets = []
+        amps = []
+        for _ in range(n):
+            offsets.append(br.read(5))
+            amps.append(br.read(4))
+        return {"start_sfb": start_sfb, "offsets": offsets, "amps": amps}
+
+    # ----------------------------------------------------------------- TNS
+
+    @staticmethod
+    def _tns_data(br: BitReader, ics: IcsInfo) -> dict:
+        short = ics.window_sequence == EIGHT_SHORT
+        n_filt_bits, len_bits, ord_bits = (1, 4, 3) if short else (2, 6, 5)
+        tns = {"n_filt": [], "filters": []}
+        for w in range(ics.num_windows):
+            n_filt = br.read(n_filt_bits)
+            tns["n_filt"].append(n_filt)
+            filters = []
+            coef_res = br.read1() if n_filt else 0
+            for _ in range(n_filt):
+                length = br.read(len_bits)
+                order = br.read(ord_bits)
+                f = {"length": length, "order": order}
+                if order:
+                    f["direction"] = br.read1()
+                    compress = br.read1()
+                    coef_bits = coef_res + 3 - compress
+                    coefs = []
+                    for _ in range(order):
+                        c = br.read(coef_bits)
+                        if c >= 1 << (coef_bits - 1):      # sign extend
+                            c -= 1 << coef_bits
+                        coefs.append(c)
+                    f["coef_res"] = coef_res
+                    f["coefs"] = coefs
+                filters.append(f)
+            tns["filters"].append(filters)
+        return tns
+
+    @staticmethod
+    def _tns_lpc(f: dict) -> np.ndarray:
+        res = f["coef_res"] + 3
+        iqfac = ((1 << (res - 1)) - 0.5) / (np.pi / 2.0)
+        iqfac_m = ((1 << (res - 1)) + 0.5) / (-np.pi / 2.0)
+        tmp = np.array([np.sin(c / (iqfac if c >= 0 else iqfac_m))
+                        for c in f["coefs"]])
+        order = f["order"]
+        a = np.zeros(order + 1)
+        a[0] = 1.0
+        for m in range(1, order + 1):
+            b = a.copy()
+            for i in range(1, m):
+                b[i] = a[i] + tmp[m - 1] * a[m - i]
+            b[m] = tmp[m - 1]
+            a = b
+        return a
+
+    def _apply_tns(self, coeffs: np.ndarray, ics: IcsInfo, tns: dict) -> None:
+        """All-pole TNS synthesis filter over each filter's spectral range
+        (the decoder inverse of the encoder FIR, ISO 14496-3 §4.6.9)."""
+        for w in range(ics.num_windows):
+            bottom = ics.num_swb
+            for f in tns["filters"][w]:
+                top = bottom
+                bottom = max(top - f["length"], 0)
+                order = f["order"]
+                if order == 0:
+                    continue
+                lpc = self._tns_lpc(f)
+                lo = ics.swb_offset[min(bottom, ics.tns_max_bands,
+                                        ics.max_sfb)]
+                hi = ics.swb_offset[min(top, ics.tns_max_bands, ics.max_sfb)]
+                if hi <= lo:
+                    continue
+                seg = coeffs[w, lo:hi]
+                if f.get("direction"):
+                    seg = seg[::-1]
+                y = np.zeros(order)
+                for i in range(seg.shape[0]):
+                    seg[i] = seg[i] - lpc[1:] @ y
+                    y[1:] = y[:-1]
+                    y[0] = seg[i]
+                if f.get("direction"):
+                    coeffs[w, lo:hi] = seg[::-1]
+
+    # -------------------------------------------------------- spectral data
+
+    def _spectral_data(self, br: BitReader, ics: IcsInfo,
+                       band_type: np.ndarray) -> np.ndarray:
+        nwin = ics.num_windows
+        wlen = (self.frame_len // 8 if ics.window_sequence == EIGHT_SHORT
+                else self.frame_len)
+        q = np.zeros((nwin, wlen), np.float64)
+        win0 = 0
+        for g in range(ics.num_window_groups):
+            glen = ics.group_len[g]
+            for b in range(ics.max_sfb):
+                cb = int(band_type[g, b])
+                if cb == ZERO_HCB or cb >= NOISE_HCB:
+                    continue
+                lo, hi = ics.swb_offset[b], ics.swb_offset[b + 1]
+                width = hi - lo
+                dim = T.CODEBOOK_META[cb - 1][0]
+                signed = T.CODEBOOK_META[cb - 1][2]
+                vals = np.zeros(glen * width, np.float64)
+                n = 0
+                huff = _SPECTRAL[cb - 1]
+                while n < glen * width:
+                    tup = list(_unpack_tuple(cb, huff.decode(br)))
+                    if not signed:
+                        for i, v in enumerate(tup):
+                            if v and br.read1():
+                                tup[i] = -v
+                    if cb == ESC_HCB:
+                        for i, v in enumerate(tup):
+                            if abs(v) == 16:
+                                nz = 0
+                                while br.read1():
+                                    nz += 1
+                                mant = br.read(nz + 4)
+                                mag = (1 << (nz + 4)) + mant
+                                tup[i] = mag if v > 0 else -mag
+                    vals[n: n + dim] = tup
+                    n += dim
+                vals = vals.reshape(glen, width)
+                for j in range(glen):
+                    q[win0 + j, lo:hi] = vals[j]
+            win0 += glen
+        return q
+
+    # ------------------------------------------------------------- dequant
+
+    def _dequant(self, q: np.ndarray, ics: IcsInfo, band_type: np.ndarray,
+                 sf: np.ndarray) -> np.ndarray:
+        x = np.sign(q) * np.abs(q) ** (4.0 / 3.0)
+        win0 = 0
+        for g in range(ics.num_window_groups):
+            for b in range(ics.max_sfb):
+                cb = int(band_type[g, b])
+                lo, hi = ics.swb_offset[b], ics.swb_offset[b + 1]
+                rows = slice(win0, win0 + ics.group_len[g])
+                if cb == NOISE_HCB:
+                    noise = self._rng.standard_normal(
+                        (ics.group_len[g], hi - lo))
+                    norm = np.sqrt(np.mean(noise ** 2, axis=1,
+                                           keepdims=True)) + 1e-30
+                    x[rows, lo:hi] = (noise / norm) * 2.0 ** (
+                        0.25 * (sf[g, b] - SF_OFFSET))
+                elif cb in (INTENSITY_HCB, INTENSITY_HCB2) or cb == ZERO_HCB:
+                    continue
+                else:
+                    x[rows, lo:hi] *= 2.0 ** (0.25 * (sf[g, b] - SF_OFFSET))
+            win0 += ics.group_len[g]
+        return x
+
+    # ---------------------------------------------------------------- ICS
+
+    def _individual_channel_stream(self, br: BitReader,
+                                   common_ics: Optional[IcsInfo] = None
+                                   ) -> ChannelData:
+        global_gain = br.read(8)
+        ics = common_ics if common_ics is not None else self._ics_info(br)
+        band_type = self._section_data(br, ics)
+        sf = self._scale_factor_data(br, ics, band_type, global_gain)
+        pulse = None
+        if br.read1():                                 # pulse_data_present
+            if ics.window_sequence == EIGHT_SHORT:
+                raise ValueError("pulse data with short windows")
+            pulse = self._pulse_data(br)
+        tns = self._tns_data(br, ics) if br.read1() else None
+        if br.read1():                                 # gain_control (SSR)
+            raise ValueError("SSR gain control unsupported in LC")
+        q = self._spectral_data(br, ics, band_type)
+        if pulse is not None:
+            k = ics.swb_offset[pulse["start_sfb"]]
+            for off, amp in zip(pulse["offsets"], pulse["amps"]):
+                k += off
+                if q[0, k] > 0:
+                    q[0, k] += amp
+                elif q[0, k] < 0:
+                    q[0, k] -= amp
+                else:
+                    q[0, k] = amp
+        coeffs = self._dequant(q, ics, band_type, sf)
+        return ChannelData(ics, band_type, sf, coeffs, tns)
+
+    # ---------------------------------------------------------------- CPE
+
+    def _apply_ms_is(self, cpe_ms: Optional[np.ndarray],
+                     left: ChannelData, right: ChannelData) -> None:
+        """Mid/side + intensity stereo on the dequantized spectra
+        (ISO 14496-3 §4.6.8.1)."""
+        ics = right.ics
+        win0 = 0
+        for g in range(ics.num_window_groups):
+            rows = slice(win0, win0 + ics.group_len[g])
+            for b in range(ics.max_sfb):
+                cb = int(right.band_type[g, b])
+                lo, hi = ics.swb_offset[b], ics.swb_offset[b + 1]
+                ms = bool(cpe_ms[g, b]) if cpe_ms is not None else False
+                if cb in (INTENSITY_HCB, INTENSITY_HCB2):
+                    sign = 1.0 if cb == INTENSITY_HCB else -1.0
+                    if ms:
+                        sign = -sign
+                    scale = sign * 2.0 ** (-0.25 * right.scalefactors[g, b])
+                    right.coeffs[rows, lo:hi] = \
+                        left.coeffs[rows, lo:hi] * scale
+                elif ms and cb != NOISE_HCB and \
+                        int(left.band_type[g, b]) < NOISE_HCB:
+                    m = left.coeffs[rows, lo:hi].copy()
+                    s = right.coeffs[rows, lo:hi].copy()
+                    left.coeffs[rows, lo:hi] = m + s
+                    right.coeffs[rows, lo:hi] = m - s
+            win0 += ics.group_len[g]
+
+    # ------------------------------------------------------------- decode
+
+    def _synthesize(self, ch: int, cd: ChannelData) -> np.ndarray:
+        if cd.tns is not None:
+            self._apply_tns(cd.coeffs, cd.ics, cd.tns)
+        spec = (cd.coeffs if cd.ics.window_sequence == EIGHT_SHORT
+                else cd.coeffs[0])
+        pcm, self._overlap[ch] = self.fb.process(
+            spec, cd.ics.window_sequence, cd.ics.window_shape,
+            self._prev_shape[ch], self._overlap[ch])
+        self._prev_shape[ch] = cd.ics.window_shape
+        return pcm
+
+    def _skip_pce(self, br: BitReader) -> None:
+        br.read(4)                             # element_instance_tag
+        br.read(2 + 4)                         # object_type, sr index
+        nfront, nside, nback = br.read(4), br.read(4), br.read(4)
+        nlfe, nassoc, ncc = br.read(2), br.read(3), br.read(4)
+        if br.read1():
+            br.read(4)                         # mono mixdown
+        if br.read1():
+            br.read(4)                         # stereo mixdown
+        if br.read1():
+            br.read(3)                         # matrix mixdown
+        for _ in range(nfront + nside + nback):
+            br.read(1 + 4)
+        for _ in range(nlfe + nassoc):
+            br.read(4)
+        for _ in range(ncc):
+            br.read(1 + 4)
+        br.byte_align()
+        for _ in range(br.read(8)):
+            br.read(8)                         # comment bytes
+
+    def decode_au(self, au: bytes) -> np.ndarray:
+        """One raw_data_block -> PCM [frame_len, channels] float32 [-1,1]."""
+        br = BitReader(au)
+        out = np.zeros((self.frame_len, max(self.channels, 1)), np.float64)
+        ch = 0
+        while True:
+            ele = br.read(3)
+            if ele == 7:                               # END
+                break
+            if ele in (0, 3):                          # SCE / LFE
+                br.read(4)
+                cd = self._individual_channel_stream(br)
+                out[:, min(ch, out.shape[1] - 1)] = self._synthesize(
+                    min(ch, self._overlap.shape[0] - 1), cd)
+                ch += 1
+            elif ele == 1:                             # CPE
+                br.read(4)
+                common = br.read1()
+                ms_mask = None
+                shared = None
+                if common:
+                    shared = self._ics_info(br)
+                    mask_present = br.read(2)
+                    if mask_present == 1:
+                        ms_mask = np.zeros(
+                            (shared.num_window_groups, shared.max_sfb),
+                            np.int32)
+                        for g in range(shared.num_window_groups):
+                            for b in range(shared.max_sfb):
+                                ms_mask[g, b] = br.read1()
+                    elif mask_present == 2:
+                        ms_mask = np.ones(
+                            (shared.num_window_groups, shared.max_sfb),
+                            np.int32)
+                left = self._individual_channel_stream(br, shared)
+                right = self._individual_channel_stream(br, shared)
+                if common:
+                    self._apply_ms_is(ms_mask, left, right)
+                c0 = min(ch, self._overlap.shape[0] - 1)
+                c1 = min(ch + 1, self._overlap.shape[0] - 1)
+                out[:, min(ch, out.shape[1] - 1)] = self._synthesize(c0, left)
+                out[:, min(ch + 1, out.shape[1] - 1)] = self._synthesize(
+                    c1, right)
+                ch += 2
+            elif ele == 4:                             # DSE
+                br.read(4)
+                align = br.read1()
+                cnt = br.read(8)
+                if cnt == 255:
+                    cnt += br.read(8)
+                if align:
+                    br.byte_align()
+                br.read(8 * cnt) if cnt <= 32 else [br.read(8)
+                                                    for _ in range(cnt)]
+            elif ele == 5:                             # PCE
+                self._skip_pce(br)
+            elif ele == 6:                             # FIL (SBR etc.)
+                cnt = br.read(4)
+                if cnt == 15:
+                    cnt += br.read(8) - 1
+                for _ in range(cnt):
+                    br.read(8)
+            else:                                      # CCE unsupported
+                raise ValueError(f"syntactic element {ele} unsupported")
+        return (out / 32768.0).astype(np.float32)
