@@ -98,6 +98,16 @@ def _print_db(r, file=None) -> None:
             print(f"  {svc.label:<16} SId={svc.sid:04X} packet "
                   f"DSCTy={pd.dscty} subch={pd.subch_id:2d} "
                   f"addr={pd.packet_address}", file=file)
+    # secondary label planes (FIG 1 ext 3/4/6 — kept queryable here,
+    # unlike the reference which parses and discards them)
+    for (sid, scids), lbl in sorted(db.component_labels.items()):
+        print(f"    component SId={sid:04X}.{scids}: {lbl.strip()!r}",
+              file=file)
+    for (sid, scids, aid), lbl in sorted(db.xpad_labels.items()):
+        print(f"    x-pad SId={sid:04X}.{scids} apptype={aid}: "
+              f"{lbl.strip()!r}", file=file)
+    for rid, lbl in sorted(db.region_labels.items()):
+        print(f"    region {rid:02X}: {lbl.strip()!r}", file=file)
 
 
 def cmd_info(args) -> int:

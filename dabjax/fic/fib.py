@@ -164,6 +164,12 @@ class EnsembleDB:
         self.linkage_sets: set = set()
         self.announcements: Dict[int, int] = {}
         self.active_announcements: Dict[int, Tuple[int, int]] = {}
+        # label planes beyond the service label (FIG 1 ext 3/4/6;
+        # the reference parses these but discards them,
+        # fib-processor.cpp:912-994 — here they are kept queryable)
+        self.region_labels: Dict[int, str] = {}
+        self.component_labels: Dict[Tuple[int, int], str] = {}  # (SId,SCIdS)
+        self.xpad_labels: Dict[Tuple[int, int, int], str] = {}  # +XPAD aid
 
     # ------------------------------------------------------------- ingest
 
@@ -470,12 +476,40 @@ class EnsembleDB:
             if not svc.has_label:
                 svc.label = charsets.decode_label(d.bytes_at(32, 16), charset)
                 svc.has_label = True
+        elif ext == 3:      # region label (fib-processor.cpp:912-920)
+            region_id = d.u(16 + 2, 6)
+            self.region_labels[region_id] = charsets.decode_label(
+                d.bytes_at(24, 16), charset)
+        elif ext == 4:      # service component label (:922-940)
+            pd_flag = d.u(16, 1)
+            scids = d.u(20, 4)
+            if pd_flag:
+                sid = d.u(24, 32)
+                off = 56
+            else:
+                sid = d.u(24, 16)
+                off = 40
+            self.component_labels[(sid, scids)] = charsets.decode_label(
+                d.bytes_at(off, 16), charset)
         elif ext == 5:      # data service label (32-bit SId)
             sid = d.u(16, 32)
             svc = self.services.setdefault(sid, Service(sid=sid))
             if not svc.has_label:
                 svc.label = charsets.decode_label(d.bytes_at(48, 16), charset)
                 svc.has_label = True
+        elif ext == 6:      # X-PAD user application label (:966-994)
+            pd_flag = d.u(16, 1)
+            scids = d.u(20, 4)
+            if pd_flag:
+                sid = d.u(24, 32)
+                xpad_aid = d.u(59, 5)
+                off = 64
+            else:
+                sid = d.u(24, 16)
+                xpad_aid = d.u(43, 5)
+                off = 48
+            self.xpad_labels[(sid, scids, xpad_aid)] = charsets.decode_label(
+                d.bytes_at(off, 16), charset)
 
     # ------------------------------------------------------------ binding
 

@@ -194,6 +194,66 @@ def fig1_1(s: ServiceSpec) -> bytes:
     return w.to_fig(1)
 
 
+def fig1_3(region_id: int, label: str) -> bytes:
+    """Region label (fib-processor.cpp:912-920 layout)."""
+    w = _FigWriter()
+    w.u(charsets.EBU_LATIN, 4)
+    w.u(0, 1)
+    w.u(3, 3)
+    w.u(0, 2)              # rfa
+    w.u(region_id, 6)
+    w.raw_bytes(charsets.encode_ebu_latin(label))
+    w.u(0xFF00, 16)
+    return w.to_fig(1)
+
+
+def fig1_4(sid: int, scids: int, label: str, pd: int = 0) -> bytes:
+    """Service component label (fib-processor.cpp:922-940 layout)."""
+    w = _FigWriter()
+    w.u(charsets.EBU_LATIN, 4)
+    w.u(0, 1)
+    w.u(4, 3)
+    w.u(pd, 1)
+    w.u(0, 3)              # rfa
+    w.u(scids, 4)
+    w.u(sid, 32 if pd else 16)
+    w.raw_bytes(charsets.encode_ebu_latin(label))
+    w.u(0xFF00, 16)
+    return w.to_fig(1)
+
+
+def fig1_6(sid: int, scids: int, xpad_aid: int, label: str,
+           pd: int = 0) -> bytes:
+    """X-PAD user application label (fib-processor.cpp:966-994 layout)."""
+    w = _FigWriter()
+    w.u(charsets.EBU_LATIN, 4)
+    w.u(0, 1)
+    w.u(6, 3)
+    w.u(pd, 1)
+    w.u(0, 3)
+    w.u(scids, 4)
+    w.u(sid, 32 if pd else 16)
+    w.u(0, 2)              # rfa
+    w.u(0, 1)              # rfu
+    w.u(xpad_aid, 5)
+    w.raw_bytes(charsets.encode_ebu_latin(label))
+    w.u(0xFF00, 16)
+    return w.to_fig(1)
+
+
+def fig2_label(ext: int, sid: int, label: str, sid_bits: int = 16) -> bytes:
+    """FIG type 2 label in the reference's layout (process_FIG2,
+    fib-processor.cpp:998-1037 — same body as FIG 1)."""
+    w = _FigWriter()
+    w.u(charsets.EBU_LATIN, 4)
+    w.u(0, 1)
+    w.u(ext, 3)
+    w.u(sid, sid_bits)
+    w.raw_bytes(charsets.encode_ebu_latin(label))
+    w.u(0xFF00, 16)
+    return w.to_fig(2)
+
+
 def pack_fibs(figs: Sequence[bytes]) -> List[bytes]:
     """Pack FIGs into as many 30-byte FIBs as needed (0xFF end padding)."""
     fibs: List[bytes] = []

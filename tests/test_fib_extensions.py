@@ -85,3 +85,45 @@ def test_fig0_6_and_8_skip_cleanly():
     db = EnsembleDB()
     db.process_fib_bytes(_fib_with([w6.to_fig(0), w8.to_fig(0)]))
     assert 0x123 in db.linkage_sets
+
+
+def test_fig1_3_region_label():
+    from dabjax.tx.fig import fig1_3
+    db = EnsembleDB()
+    db.process_fib_bytes(_fib_with([fig1_3(0x2A, "NORTH REGION")]))
+    assert db.region_labels[0x2A].strip() == "NORTH REGION"
+
+
+def test_fig1_4_component_label():
+    from dabjax.tx.fig import fig1_4
+    db = EnsembleDB()
+    db.process_fib_bytes(_fib_with([fig1_4(0x4001, 2, "SECONDARY")]))
+    assert db.component_labels[(0x4001, 2)].strip() == "SECONDARY"
+    # 32-bit (pd=1) identifier variant
+    db2 = EnsembleDB()
+    db2.process_fib_bytes(_fib_with([fig1_4(0xE1C00042, 1, "DATA COMP",
+                                            pd=1)]))
+    assert db2.component_labels[(0xE1C00042, 1)].strip() == "DATA COMP"
+
+
+def test_fig1_6_xpad_label():
+    from dabjax.tx.fig import fig1_6
+    db = EnsembleDB()
+    db.process_fib_bytes(_fib_with([fig1_6(0x4001, 0, 12, "SLIDESHOW")]))
+    assert db.xpad_labels[(0x4001, 0, 12)].strip() == "SLIDESHOW"
+    db2 = EnsembleDB()
+    db2.process_fib_bytes(_fib_with([fig1_6(0xE1C00042, 3, 16, "EPG XPAD",
+                                            pd=1)]))
+    assert db2.xpad_labels[(0xE1C00042, 3, 16)].strip() == "EPG XPAD"
+
+
+def test_fig2_labels():
+    """FIG type 2 labels in the reference's layout route through the same
+    handler (fib-processor.cpp:998-1037)."""
+    from dabjax.tx.fig import fig2_label
+    db = EnsembleDB()
+    db.process_fib_bytes(_fib_with([fig2_label(1, 0x4009, "TWO RADIO")]))
+    db.process_fib_bytes(_fib_with([fig2_label(5, 0xE1C00099, "TWO DATA",
+                                               sid_bits=32)]))
+    assert db.services[0x4009].label.strip() == "TWO RADIO"
+    assert db.services[0xE1C00099].label.strip() == "TWO DATA"
