@@ -131,38 +131,75 @@ class WavFileSource:
 
 
 class SyntheticSource:
-    """Modulator-backed source for tests/benchmarks (no file needed)."""
+    """Modulator-backed source for tests/benchmarks (no file needed).
+
+    Impairments model the RF/ADC chain: additive noise (snr_db), carrier
+    frequency offset (cfo_hz) and a sample-clock offset in parts-per-million
+    (ppm) — the tx/rx oscillator mismatch the reference's per-frame PRS
+    resync absorbs (ofdm-processor.cpp:344-380).  ppm > 0 means the receiver
+    clock runs slow, so the tx waveform is stretched: one tx frame occupies
+    T_F * (1 + ppm*1e-6) rx samples.
+    """
 
     sample_rate = 2_048_000
 
     def __init__(self, modulator, snr_db: Optional[float] = None,
-                 cfo_hz: float = 0.0, lead_in: int = 0):
+                 cfo_hz: float = 0.0, lead_in: int = 0, ppm: float = 0.0):
         self.mod = modulator
         self.snr_db = snr_db
         self.cfo_hz = cfo_hz
+        self.ppm = ppm
+        self._ratio = 1.0 + ppm * 1e-6   # tx samples per rx sample is 1/ratio
         self._buf = (np.zeros(lead_in, np.complex64)
                      if lead_in else np.zeros(0, np.complex64))
         self._frame = 0
+        # resampler state: tx-timebase stream + fractional read position
+        self._tx = np.zeros(0, np.complex64)
+        self._tx_base = 0       # absolute tx index of _tx[0]
+        self._tx_pos = 0.0      # absolute tx index of the next rx sample
+
+    def _gen_frame(self) -> np.ndarray:
+        T_F = self.mod.p.T_F
+        chunk = self.mod.frames(1, start_frame=self._frame)
+        self._frame += 1
+        if self.cfo_hz:
+            t0 = (self._frame - 1) * T_F
+            k = np.arange(t0, t0 + T_F)
+            chunk = chunk * np.exp(
+                2j * np.pi * self.cfo_hz * k / self.sample_rate
+            ).astype(np.complex64)
+        if self.snr_db is not None:
+            rng = np.random.default_rng(self._frame)
+            p = np.mean(np.abs(chunk) ** 2)
+            sigma = np.sqrt(p / (10 ** (self.snr_db / 10)) / 2)
+            chunk = chunk + sigma * (
+                rng.standard_normal(T_F)
+                + 1j * rng.standard_normal(T_F)).astype(np.complex64)
+        return chunk
 
     def read(self, n: int) -> np.ndarray:
+        if self.ppm == 0.0:
+            while self._buf.shape[0] < n:
+                self._buf = np.concatenate([self._buf, self._gen_frame()])
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+        # rx sample i sits at tx index _tx_pos + i / ratio; linear interp
         while self._buf.shape[0] < n:
-            T_F = self.mod.p.T_F
-            chunk = self.mod.frames(1, start_frame=self._frame)
-            self._frame += 1
-            if self.cfo_hz:
-                t0 = (self._frame - 1) * T_F
-                k = np.arange(t0, t0 + T_F)
-                chunk = chunk * np.exp(
-                    2j * np.pi * self.cfo_hz * k / self.sample_rate
-                ).astype(np.complex64)
-            if self.snr_db is not None:
-                rng = np.random.default_rng(self._frame)
-                p = np.mean(np.abs(chunk) ** 2)
-                sigma = np.sqrt(p / (10 ** (self.snr_db / 10)) / 2)
-                chunk = chunk + sigma * (
-                    rng.standard_normal(T_F)
-                    + 1j * rng.standard_normal(T_F)).astype(np.complex64)
-            self._buf = np.concatenate([self._buf, chunk])
+            m = n - self._buf.shape[0]
+            need_tx = int(np.floor(self._tx_pos + (m - 1) / self._ratio)) + 2
+            while self._tx_base + self._tx.shape[0] < need_tx:
+                self._tx = np.concatenate([self._tx, self._gen_frame()])
+            t = self._tx_pos - self._tx_base + np.arange(m) / self._ratio
+            i0 = np.floor(t).astype(np.int64)
+            frac = (t - i0).astype(np.float32)
+            out = (self._tx[i0] * (1.0 - frac)
+                   + self._tx[i0 + 1] * frac).astype(np.complex64)
+            self._buf = np.concatenate([self._buf, out])
+            self._tx_pos += m / self._ratio
+            cut = int(np.floor(self._tx_pos)) - self._tx_base
+            if cut > 0:
+                self._tx = self._tx[cut:]
+                self._tx_base += cut
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 

@@ -32,7 +32,7 @@ from dabjax.audio.mp2 import Mp2Decoder
 from dabjax.audio.mp4 import SuperframeDecoder
 from dabjax.fic.fib import EnsembleDB
 from dabjax.fic.fic_decoder import decode_fic
-from dabjax.iq import pack_iq, unpack_iq
+from dabjax.iq import device_complex, pack_iq, unpack_iq
 from dabjax.msc.cif import cifs_from_soft
 from dabjax.msc.deinterleave import HISTORY
 from dabjax.msc.subchannel import EnsembleDecoder, SubchGeometry
@@ -156,7 +156,10 @@ class Receiver:
         self.data_handlers: Dict[int, object] = {}
         self._buf = np.zeros(0, np.complex64)
         self._buf_base = 0          # absolute index of _buf[0]
-        self._u0: Optional[int] = None  # absolute PRS-useful-start index
+        self._u0: Optional[float] = None  # absolute PRS-useful-start index
+        # tracked rx samples per frame: T_F plus the sample-clock drift
+        # (the avgTokenLength analog, ofdm-processor.cpp:368-380)
+        self._frame_len = float(self.p.T_F)
         self._coarse_hz = 0.0
         self._cif_hist = np.zeros((HISTORY, CIF_BITS), np.float32)
         self._hist_valid = 0        # CIFs of real history accumulated
@@ -186,15 +189,17 @@ class Receiver:
             snr = demod.snr_estimate(spec0, p)
             coarse = demod.coarse_cfo_estimate(spec0, p)
             fibs, fic_ok = decode_fic(soft[:, : p.fic_symbols, :], p)
-            # per-frame PRS timing: correlate frame 0's window
-            imp = acquisition.prs_correlate(rows[:1, : p.T_u], p)
-            t_off = jnp.argmax(imp, axis=-1)
+            # per-frame PRS timing: correlate EVERY frame's PRS window (the
+            # batched analog of the per-frame resync, ofdm-processor.cpp:
+            # 344-366); t_ok rejects weak peaks so noise never steers timing
+            t_off, t_ok = acquisition.prs_sync(rows[:, : p.T_u], p)
             # scopes: mean PRS magnitude spectrum (fftshifted) + the
             # constellation of the first data symbol (ofdm-decoder's IQ
             # scope feed, every 8th frame -> here once per block)
             spectrum = jnp.mean(
                 jnp.abs(jnp.roll(spec0, p.T_u // 2, axis=-1)), axis=0)
-            return soft, snr, fine, coarse, fibs, fic_ok, t_off, spectrum
+            return (soft, snr, fine, coarse, fibs, fic_ok, t_off, t_ok,
+                    spectrum)
 
         return block
 
@@ -230,12 +235,35 @@ class Receiver:
                 return False
             u0 = acquisition.acquire(self._buf, p, self.cfg.sync_threshold)
             if u0 is not None:
-                self._u0 = self._buf_base + int(u0)
+                self._u0 = float(self._buf_base + int(u0))
+                self._probe_frame_len()
                 self.metrics.synced = True
                 return True
             self._drop_before(self._buf_base + p.T_F)
         self.metrics.synced = False
         return False
+
+    def _probe_frame_len(self):
+        """Initial sample-clock estimate: locate the PRS k frames ahead of
+        u0 and divide the residual by k, so the first full block is already
+        gathered on the drifted grid (a +-100 ppm clock moves the PRS by
+        ~20 samples/frame in Mode I — beyond T_g within one 96-frame block
+        if uncorrected).  Refined every block by the per-frame fit in
+        step(); ref: ofdm-processor.cpp:344-380."""
+        p = self.p
+        k = 8
+        if not self._ensure(int(self._u0) + k * p.T_F + p.T_u):
+            return
+        base = int(self._u0) - self._buf_base + k * p.T_F
+        win = self._buf[base: base + p.T_u]
+        start, ok = acquisition.prs_sync(
+            device_complex(win[None, :]), p, self.cfg.sync_threshold)
+        if not float(np.asarray(ok)[0]):
+            return
+        d = int(np.asarray(start)[0])
+        d = (d + p.T_u // 2) % p.T_u - p.T_u // 2
+        if abs(d) <= p.T_g:
+            self._frame_len = p.T_F + d / k
 
     # -------------------------------------------------------------- step
 
@@ -249,18 +277,20 @@ class Receiver:
         if self._u0 is None and not self.acquire():
             return False
         need = demod.min_frame_samples(p)
-        end = self._u0 + (F - 1) * p.T_F + need
+        # per-frame gather positions on the drifted sample grid: frame f
+        # starts frame_len (not T_F) rx samples after frame f-1
+        pos = np.round(self._u0
+                       + np.arange(F) * self._frame_len).astype(np.int64)
+        end = int(pos[-1]) + need
         if not self._ensure(end):
             return False
-        base = self._u0 - self._buf_base
-        rows = np.stack([
-            self._buf[base + f * p.T_F: base + f * p.T_F + need]
-            for f in range(F)])
+        base = pos - self._buf_base
+        rows = np.stack([self._buf[b: b + need] for b in base])
         if self._iq_dump is not None:        # raw-IQ tap at pipeline input
-            self._iq_dump.write(self._buf[base: base + F * p.T_F])
+            self._iq_dump.write(self._buf[base[0]: base[0] + F * p.T_F])
 
         with self.profiler.stage("device_block", items=F * p.T_F):
-            (soft, snr, fine, coarse, fibs, fic_ok, t_off,
+            (soft, snr, fine, coarse, fibs, fic_ok, t_off, t_ok,
              spectrum) = self._block_fn(
                 jnp.asarray(pack_iq(rows)), jnp.float32(self._coarse_hz))
             soft = np.asarray(soft)
@@ -284,18 +314,26 @@ class Receiver:
             if abs(self._coarse_hz) > self.cfg.max_coarse_khz * 1000:
                 self._coarse_hz = 0.0
             self.metrics.coarse_cfo_hz = self._coarse_hz
-        # ----- timing tracking: PRS impulse should sit at 0
-        off = int(np.asarray(t_off)[0])
-        if off > p.T_u // 2:
-            off -= p.T_u
-        if 0 < abs(off) <= p.T_g:
-            self._u0 += off
-        # clock-drift proxy: measured frame length = T_F + drift per frame
-        # (the avgTokenLength ewma, ofdm-processor.cpp:368-380)
-        measured = p.T_F + off / F
+        # ----- timing tracking: per-frame PRS offsets, least-squares drift
+        # fit.  Intercept corrects u0; slope corrects the tracked frame
+        # length (the per-frame resync + avgTokenLength pair,
+        # ofdm-processor.cpp:344-380).  Only in-guard measurements from
+        # strong correlations steer the clock.
+        off = np.asarray(t_off).astype(np.int64)
+        off = (off + p.T_u // 2) % p.T_u - p.T_u // 2
+        good = (np.asarray(t_ok) > 0) & (np.abs(off) <= p.T_g)
+        if good.sum() >= 2:
+            slope, intercept = np.polyfit(
+                np.arange(F)[good], off[good].astype(np.float64), 1)
+            self._u0 += float(np.clip(intercept, -p.T_g, p.T_g))
+            self._frame_len = float(np.clip(
+                self._frame_len + slope,
+                p.T_F * (1 - 3e-4), p.T_F * (1 + 3e-4)))
+        elif good.any():
+            self._u0 += int(off[np.argmax(good)])
         self.metrics.avg_frame_len = (
-            measured if self.metrics.avg_frame_len == 0.0
-            else 0.9 * self.metrics.avg_frame_len + 0.1 * measured)
+            self._frame_len if self.metrics.avg_frame_len == 0.0
+            else 0.9 * self.metrics.avg_frame_len + 0.1 * self._frame_len)
 
         # ----- FIC -> ensemble database
         block_ok = 0
@@ -328,8 +366,8 @@ class Receiver:
             cifs = np.asarray(cifs_from_soft(jnp.asarray(soft), p))
             self._process_cifs(cifs)
 
-        self._u0 += F * p.T_F
-        self._drop_before(self._u0 - p.T_u)
+        self._u0 += F * self._frame_len
+        self._drop_before(int(self._u0) - p.T_u)
         return True
 
     # --------------------------------------------------------------- MSC

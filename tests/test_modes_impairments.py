@@ -58,6 +58,32 @@ def test_coarse_cfo_correction():
     assert abs(r.metrics.coarse_cfo_hz - 5000.0) < 1200.0
 
 
+@pytest.mark.parametrize("ppm", [100.0, -100.0])
+def test_sample_clock_drift(ppm):
+    """+-100 ppm sample-clock offset: ~20 samples/frame of PRS drift in
+    Mode I.  The per-frame PRS fit (receiver.step) plus the acquire-time
+    frame-length probe must keep every FFT window aligned — the per-frame
+    resync + avgTokenLength behavior of ofdm-processor.cpp:344-380."""
+    r = _rx(1, n_blocks=6, snr_db=30.0, lead_in=2500, ppm=ppm)
+    assert r.metrics.synced
+    assert r.metrics.fic_ratio == 1.0, r.metrics.dashboard()
+    measured_ppm = (r.metrics.avg_frame_len / r.p.T_F - 1.0) * 1e6
+    assert abs(measured_ppm - ppm) < 20.0, measured_ppm
+
+
+def test_sample_clock_drift_large_block():
+    """Bench-scale blocks: with 24 frames gathered in one shot, an
+    uncorrected 60 ppm clock would accumulate ~280 samples of skew inside
+    the block; the drifted gather grid must hold fic_ratio at 1.0."""
+    services = [ServiceSpec(label="MODETEST", **SVC)]
+    mod = Modulator(mode=1, services=services)
+    src = SyntheticSource(mod, snr_db=30.0, lead_in=1000, ppm=60.0)
+    r = Receiver(src, ReceiverConfig(mode=1, frames_per_block=24,
+                                     decode_audio=False))
+    r.run(2)
+    assert r.metrics.fic_ratio == 1.0, r.metrics.dashboard()
+
+
 def test_spectrum_and_constellation_taps():
     r = _rx(1, snr_db=30.0, lead_in=100)
     assert r.metrics.spectrum is not None
