@@ -90,10 +90,18 @@ class EnsembleDecoder:
     Groups subchannels with identical (size, bitrate, protection) and
     decodes each bucket as one vmapped Viterbi batch.  Returns per-subchannel
     logical-frame bits keyed by subch_id.
+
+    With ``mesh`` set, each bucket's subchannel axis is padded to a multiple
+    of the mesh size and sharded across every device (the expert-parallel
+    axis of SURVEY.md §2.5) — XLA runs the vmapped Viterbi SPMD and gathers
+    the bits on readback; per-subchannel math is unchanged, so outputs stay
+    bit-identical to the single-chip path.
     """
 
-    def __init__(self, geometries: Sequence[SubchGeometry], p: DabParams):
+    def __init__(self, geometries: Sequence[SubchGeometry], p: DabParams,
+                 mesh=None):
         self.p = p
+        self.mesh = mesh
         self.geoms = list(geometries)
         self._buckets: Dict[Tuple, List[SubchGeometry]] = {}
         for g in self.geoms:
@@ -124,7 +132,15 @@ class EnsembleDecoder:
                 cifs[:, g.start_addr * CU_BITS:
                      (g.start_addr + g.length_cus) * CU_BITS]
                 for g in geoms])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                pad = (-len(geoms)) % self.mesh.size
+                if pad:    # pad-to-bucket: replicate subch 0, trimmed below
+                    slices = jnp.concatenate(
+                        [slices, jnp.repeat(slices[:1], pad, axis=0)])
+                slices = jax.device_put(slices, NamedSharding(
+                    self.mesh, P(tuple(self.mesh.axis_names), None, None)))
             bits = self._bucket_fn(key)(slices)
-            for g, b in zip(geoms, bits):
+            for g, b in zip(geoms, bits):   # zip trims the pad rows
                 out[g.subch_id] = np.asarray(b)
         return out

@@ -143,9 +143,19 @@ class Receiver:
     ficHandler + mscHandler control flow, re-architected)."""
 
     def __init__(self, source, config: Optional[ReceiverConfig] = None,
-                 data_handler_factory=None):
+                 data_handler_factory=None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — the product multi-chip
+        path.  Frames are sharded across every device in the demod/FIC/PRS
+        block and subchannels across every device in the MSC bucket decode
+        (SURVEY.md §2.5); outputs stay bit-identical to single-chip
+        (tests/test_parallel.py)."""
         self.source = source
         self.cfg = config or ReceiverConfig()
+        self.mesh = mesh
+        if mesh is not None and self.cfg.frames_per_block % mesh.size:
+            raise ValueError(
+                f"frames_per_block={self.cfg.frames_per_block} must be a "
+                f"multiple of the mesh size {mesh.size}")
         self.p = get_mode(self.cfg.mode)
         self.db = EnsembleDB()
         self.metrics = Metrics()
@@ -178,7 +188,6 @@ class Receiver:
         p = self.p
         cfg = self.cfg
 
-        @jax.jit
         def block(rows, coarse_hz):
             rows = unpack_iq(rows)
             rows = demod.apply_cfo(rows, jnp.broadcast_to(
@@ -201,7 +210,17 @@ class Receiver:
             return (soft, snr, fine, coarse, fibs, fic_ok, t_off, t_ok,
                     spectrum)
 
-        return block
+        if self.mesh is not None:
+            # product SPMD path: frames over every mesh device; the whole
+            # block (PRS timing, fine+coarse CFO, SNR, demod, FIC) is one
+            # sharded graph — XLA inserts the cross-device reductions for
+            # the replicated statistics (spectrum mean etc.)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axes = tuple(self.mesh.axis_names)
+            rows_sh = NamedSharding(self.mesh, P(axes, None, None))
+            rep = NamedSharding(self.mesh, P())
+            return jax.jit(block, in_shardings=(rows_sh, rep))
+        return jax.jit(block)
 
     # --------------------------------------------------------------- I/O
 
@@ -397,7 +416,7 @@ class Receiver:
         key = tuple(sorted((g.subch_id,) + g.shape_key + (g.start_addr,)
                            for g in geoms))
         if key != self._decoder_key:
-            self._decoder = EnsembleDecoder(geoms, self.p)
+            self._decoder = EnsembleDecoder(geoms, self.p, mesh=self.mesh)
             self._decoder_key = key
         block = np.concatenate([self._cif_hist, cifs], axis=0)
         out = self._decoder.decode(jnp.asarray(block))
