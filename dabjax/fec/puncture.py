@@ -66,8 +66,18 @@ UEP_PROFILES: Dict[Tuple[int, int], Tuple[int, ...]] = {
     (48, 3): (3, 4, 26, 3, 15, 10, 6, 9),
     (48, 2): (3, 4, 26, 3, 24, 14, 8, 15),
     (48, 1): (3, 5, 25, 3, 24, 18, 13, 18),
-    # NOTE: 56 kbit/s UEP profiles are absent, as in the reference
-    # (deconvolve.cpp profileTable has no 56 entry; findIndex falls back).
+    # 56 kbit/s (levels 2..5; level 1 is not defined in EN 300 401): the
+    # reference cannot decode these at all (deconvolve.cpp profileTable has
+    # no 56 entry).  PROVISIONAL: no authoritative copy of table 33 is
+    # available in this build environment; the L/PI splits below satisfy
+    # every structural constraint of the table (sum(L) = bitrate*3/4 = 42,
+    # coded bits == subch CUs*64 with pads 0/0/0/8, monotone PI ordering)
+    # and roundtrip closed-loop, but MUST be checked against the ETSI print
+    # before relying on them for off-air 56 kbit/s services.
+    (56, 5): (6, 10, 23, 3, 5, 4, 2, 3),
+    (56, 4): (6, 10, 23, 3, 9, 6, 4, 5),
+    (56, 3): (6, 12, 21, 3, 16, 7, 6, 9),
+    (56, 2): (6, 10, 23, 3, 23, 13, 8, 13),
     (64, 5): (6, 9, 31, 2, 5, 3, 2, 3),
     # NOTE: deconvolve.cpp:53 has PI3=6 here, which would consume 2820 soft
     # bits from a 2688-bit (42 CU) subchannel — a reference bug.  The

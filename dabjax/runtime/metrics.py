@@ -30,6 +30,9 @@ class Metrics:
     rs_corrected: int = 0
     samples_processed: int = 0
     resyncs: int = 0          # sync losses -> full re-acquisitions (§5)
+    #: subchannels signalled by the ensemble whose puncturing profile this
+    #: decoder lacks (skipped, never aborting the whole-ensemble decode)
+    unsupported_subch: int = 0
     #: ewma of the measured frame length in samples (T_F + timing drift) —
     #: the clock-drift proxy shown by the reference as "avg token length"
     #: (ofdm-processor.cpp:368-380, gui.cpp display slot)

@@ -176,6 +176,7 @@ class Receiver:
         self._decoder: Optional[EnsembleDecoder] = None
         self._decoder_key = None
         self._bad_blocks = 0        # consecutive blocks with zero FIC CRCs
+        self._unsupported_warned: set = set()
         self._iq_dump = None
         if self.cfg.dump_iq_path:
             from dabjax.io.iq_dump import IqDumpWriter
@@ -391,6 +392,21 @@ class Receiver:
 
     # --------------------------------------------------------------- MSC
 
+    def _decodable(self, g: SubchGeometry) -> bool:
+        """True when a puncturing profile exists for this geometry.  An
+        ensemble may signal profiles this decoder lacks; one such
+        subchannel must never abort the whole-ensemble decode (the
+        findIndex fallback, deconvolve.cpp:142-166)."""
+        from dabjax.msc.subchannel import subch_puncture_mask
+        try:
+            subch_puncture_mask(g.protection, g.bitrate, g.prot_level)
+            return True
+        except (ValueError, KeyError):
+            if g.subch_id not in self._unsupported_warned:
+                self._unsupported_warned.add(g.subch_id)
+                self.metrics.unsupported_subch += 1
+            return False
+
     def _geometries(self) -> List[SubchGeometry]:
         geoms = []
         if self.cfg.service is not None:
@@ -401,10 +417,13 @@ class Receiver:
             if d is None:
                 return []
             sc = self.db.subchannels[d.subch_id]
-            return [SubchGeometry.from_db(sc)]
+            g = SubchGeometry.from_db(sc)
+            return [g] if self._decodable(g) else []
         for sc in self.db.subchannels.values():
             if sc.bitrate > 0 and sc.length > 0:
-                geoms.append(SubchGeometry.from_db(sc))
+                g = SubchGeometry.from_db(sc)
+                if self._decodable(g):
+                    geoms.append(g)
         return geoms
 
     def _process_cifs(self, cifs: np.ndarray):

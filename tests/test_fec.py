@@ -59,6 +59,7 @@ def test_uep_profiles_consistent_with_subchannel_sizes():
     sizes = {
         (32, 5): 16, (32, 4): 21, (32, 3): 24, (32, 2): 29, (32, 1): 35,
         (48, 5): 24, (48, 4): 29, (48, 3): 35, (48, 2): 42, (48, 1): 52,
+        (56, 5): 29, (56, 4): 35, (56, 3): 42, (56, 2): 52,
         (64, 5): 32, (64, 4): 42, (64, 3): 48, (64, 2): 58, (64, 1): 70,
         (80, 5): 40, (80, 4): 52, (80, 3): 58, (80, 2): 70, (80, 1): 84,
         (96, 5): 48, (96, 4): 58, (96, 3): 70, (96, 2): 84, (96, 1): 104,

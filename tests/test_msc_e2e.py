@@ -63,6 +63,57 @@ def test_all_subchannels_bit_exact(decoded):
                 bits[t], want, err_msg=f"subch {s.subch_id} frame {t}")
 
 
+@pytest.mark.parametrize("lvl,cus", [(5, 29), (4, 35), (3, 42), (2, 52)])
+def test_56kbps_uep_closed_loop(lvl, cus):
+    """56 kbit/s UEP (all four defined levels) decodes closed-loop — a
+    capability the reference lacks entirely (deconvolve.cpp profileTable
+    has no 56 entry).  Profile values are provisional; see
+    fec/puncture.py::UEP_PROFILES."""
+    p = get_mode(2)
+    svc = [ServiceSpec(label="FIFTY6", sid=0x5601, subch_id=5, start_addr=0,
+                       bitrate=56, protection="UEP", prot_level=lvl,
+                       kind="DAB")]
+    assert svc[0].length_cus == cus
+    n_frames = 18                       # mode II: 1 CIF/frame
+    mod = Modulator(mode=2, services=svc)
+    iq = mod.iq(n_frames, snr_db=25.0, sample_offset=100, seed=56)
+    u0 = acquisition.acquire(iq, p)
+    assert u0 is not None
+    need = demod.min_frame_samples(p)
+    rows = np.stack([iq[u0 + f * p.T_F: u0 + f * p.T_F + need]
+                     for f in range(n_frames)])
+    soft, _ = demod.demodulate_frames(jnp.asarray(rows), p)
+    cifs = cifs_from_soft(soft, p)
+    geom = SubchGeometry(5, 0, cus, 56, "UEP", lvl)
+    out = EnsembleDecoder([geom], p).decode(cifs)[5]
+    assert out.shape == (n_frames - HISTORY, 24 * 56)
+    for t in range(out.shape[0]):
+        np.testing.assert_array_equal(out[t], mod.payload_bits(5, t))
+
+
+def test_unsupported_profile_is_skipped_not_fatal():
+    """A subchannel signalling a profile this decoder lacks must be
+    skipped (metric counted), never abort the whole-ensemble decode."""
+    from dabjax.io.sources import NullSource
+    from dabjax.runtime.config import ReceiverConfig
+    from dabjax.runtime.receiver import Receiver
+
+    r = Receiver(NullSource(), ReceiverConfig(mode=1))
+    sc = r.db.subchannels.setdefault(11, type(
+        "S", (), dict(subch_id=11, start_addr=0, length=40, uep_flag=0,
+                      prot_level=1, eep_profile="", bitrate=56,
+                      language=0, fec_scheme=0))())
+    sc2 = r.db.subchannels.setdefault(12, type(
+        "S", (), dict(subch_id=12, start_addr=40, length=42, uep_flag=0,
+                      prot_level=3, eep_profile="", bitrate=56,
+                      language=0, fec_scheme=0))())
+    del sc, sc2
+    geoms = r._geometries()
+    # (56, UEP, 1) is undefined -> skipped; (56, UEP, 3) decodable
+    assert [g.subch_id for g in geoms] == [12]
+    assert r.metrics.unsupported_subch == 1
+
+
 def test_single_service_matches_reference_semantics(decoded):
     """UEP service with padding bits decodes exactly (padding ignored)."""
     mod, out = decoded
