@@ -228,3 +228,182 @@ def test_fec_frame_straddling_packets():
     # straddlers are delivered uncorrected; corrupted straddlers may
     # mismatch, but alignment must hold (bounded mismatches, not cascade)
     assert n_bad <= 3
+
+
+# ------------------------------------------------------- rtl_tcp loopback
+
+def test_rtl_tcp_loopback_protocol_and_decode():
+    """Loopback rtl_tcp server: banner parse, tuner-command capture, u8
+    stream -> synced FIC decode (rtl_tcp_client.h:44-60 wire protocol)."""
+    import socket
+    import struct
+
+    from dabjax.constants import get_mode
+    from dabjax.io.rtl_tcp import (CMD_SET_FREQ, CMD_SET_GAIN_MODE,
+                                   CMD_SET_RATE, RtlTcpSource)
+    from dabjax.msc.cif import cifs_from_soft  # noqa: F401 (import check)
+    from dabjax.ofdm import acquisition, demod
+    from dabjax.fic.fic_decoder import decode_fic
+    from dabjax.tx.fig import ServiceSpec
+    from dabjax.tx.modulator import Modulator
+    import jax.numpy as jnp
+
+    p = get_mode(2)
+    svc = [ServiceSpec(label="TCPSVC", sid=0x6001, subch_id=1, start_addr=0,
+                       bitrate=32, protection="EEP-B", prot_level=3,
+                       kind="DAB+")]
+    mod = Modulator(mode=2, services=svc)
+    iq = mod.iq(6, snr_db=None)
+    scale = 120.0 / np.max(np.abs(iq.view(np.float32)))
+    u8 = np.empty(2 * iq.size, np.uint8)
+    u8[0::2] = np.clip(np.round(iq.real * scale + 128), 0, 255)
+    u8[1::2] = np.clip(np.round(iq.imag * scale + 128), 0, 255)
+
+    cmds = []
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+        conn.settimeout(2.0)
+        buf = b""
+        try:
+            while len(cmds) < 3:
+                chunk = conn.recv(64)
+                if not chunk:
+                    break
+                buf += chunk
+                while len(buf) >= 5:
+                    cmds.append(struct.unpack(">BI", buf[:5]))
+                    buf = buf[5:]
+        except socket.timeout:
+            pass
+        conn.sendall(u8.tobytes())
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    client = RtlTcpSource("127.0.0.1", port, frequency_hz=220_352_000)
+    assert client.tuner_type == 5 and client.tuner_gain_count == 29
+    x = client.read(4 * p.T_F + p.T_null + p.T_u)
+    client.close()
+    t.join(timeout=5.0)
+
+    got = {op: arg for op, arg in cmds}
+    assert got[CMD_SET_RATE] == 2_048_000
+    assert got[CMD_SET_GAIN_MODE] == 0
+    assert got[CMD_SET_FREQ] == 220_352_000
+
+    # the u8 stream carries a decodable ensemble
+    u0 = acquisition.acquire(x, p)
+    assert u0 is not None
+    need = demod.min_frame_samples(p)
+    rows = np.stack([x[u0 + f * p.T_F: u0 + f * p.T_F + need]
+                     for f in range(3)])
+    soft, _ = demod.demodulate_frames(jnp.asarray(rows), p)
+    _, ok = decode_fic(soft[:, : p.fic_symbols, :], p)
+    assert float(np.asarray(ok).mean()) == 1.0
+
+
+# --------------------------------------------------- fake librtlsdr stick
+
+class _FakeRtlLib:
+    """In-process librtlsdr double: exercises the ctypes binding, the
+    async-callback worker thread and the gain table (dabstick.cpp:65-83)."""
+
+    def __init__(self, u8_pattern: bytes):
+        import ctypes
+        import time as _time
+        self.calls = []
+        self.cancelled = threading.Event()
+        gains = [0, 9, 14, 27, 37, 77, 87, 125, 144, 157]
+
+        def rtlsdr_get_device_count():
+            return 1
+
+        def rtlsdr_open(devp, idx):
+            self.calls.append(("open", idx))
+            return 0
+
+        def rtlsdr_set_sample_rate(dev, rate):
+            self.calls.append(("rate", int(rate)))
+            return 0
+
+        def rtlsdr_set_freq_correction(dev, ppm):
+            self.calls.append(("ppm", int(ppm)))
+            return 0
+
+        def rtlsdr_set_tuner_gain_mode(dev, mode):
+            self.calls.append(("gain_mode", int(mode)))
+            return 0
+
+        def rtlsdr_set_tuner_gain(dev, g):
+            self.calls.append(("gain", int(g)))
+            return 0
+
+        def rtlsdr_set_center_freq(dev, hz):
+            self.calls.append(("freq", int(hz)))
+            return 0
+
+        def rtlsdr_get_tuner_gains(dev, buf):
+            if not buf:
+                return len(gains)
+            for i, g in enumerate(gains):
+                buf[i] = g
+            return len(gains)
+
+        def rtlsdr_reset_buffer(dev):
+            return 0
+
+        def rtlsdr_read_async(dev, cb, ctx, n_bufs, buf_len):
+            arr = (ctypes.c_ubyte * len(u8_pattern)).from_buffer_copy(
+                u8_pattern)
+            while not self.cancelled.is_set():
+                cb(arr, len(u8_pattern), None)
+                _time.sleep(0.001)
+            return 0
+
+        def rtlsdr_cancel_async(dev):
+            self.cancelled.set()
+            return 0
+
+        def rtlsdr_close(dev):
+            self.calls.append(("close",))
+            return 0
+
+        for name, fn in list(locals().items()):
+            if name.startswith("rtlsdr_"):
+                setattr(self, name, fn)
+
+
+def test_rtlsdr_fake_library_callback_path(monkeypatch):
+    import dabjax.io.devices as devices
+
+    pattern = bytes(range(256)) * 8          # 1024 IQ pairs per callback
+    fake = _FakeRtlLib(pattern)
+    monkeypatch.setattr(devices, "_load_lib", lambda *names: fake)
+
+    src = RtlSdrSource(frequency_hz=220_352_000, gain_db=2.7, ppm=5,
+                       khz_offset=10)
+    calls = dict()
+    for c in fake.calls:
+        calls.setdefault(c[0], []).append(c[1:] if len(c) > 1 else ())
+    assert calls["rate"] == [(2_048_000,)]
+    assert calls["ppm"] == [(5,)]
+    assert calls["gain_mode"] == [(1,)]
+    assert calls["gain"] == [(27,)]
+    assert calls["freq"] == [(220_352_000 + 10_000,)]
+    assert src.gains() == [0.0, 0.9, 1.4, 2.7, 3.7, 7.7, 8.7, 12.5,
+                           14.4, 15.7]
+
+    x = src.read(2048)                        # spins up the async thread
+    assert x.shape == (2048,) and x.dtype == np.complex64
+    np.testing.assert_allclose(x[:128], iq_from_u8(pattern)[:128])
+    src.close()
+    assert fake.cancelled.is_set()
+    assert ("close",) in fake.calls
