@@ -182,26 +182,54 @@ def cmd_decode(args) -> int:
 
 
 def cmd_scan(args) -> int:
-    """Band scan over channel=file pairs (the No_Signal_Found loop)."""
+    """Band scan (gui.cpp:561-638): live tuner hop over Band III / L-band
+    (``scan rtlsdr:all`` / ``rtlsdr:band3`` / ``rtlsdr:5A,7D,12C``) or the
+    file-dict form (``scan 12C=file.raw 5A=null``) — both drive the same
+    channel-hop loop in :mod:`dabjax.runtime.scan`."""
+    from dabjax.runtime.channels import channel_list
+    from dabjax.runtime.config import ReceiverConfig
+    from dabjax.runtime.scan import band_scan
+
+    spec = args.channels
+    if len(spec) == 1 and "=" not in spec[0]:
+        dev, _, sel = spec[0].partition(":")
+        if sel in ("", "all"):
+            channels = channel_list("III") + channel_list("L")
+        elif sel in ("band3", "III"):
+            channels = channel_list("III")
+        elif sel in ("lband", "L"):
+            channels = channel_list("L")
+        else:
+            channels = sel.split(",")
+        source = open_source(dev)
+    else:
+        from dabjax.io.sources import TunedSourceBank
+        bank = {}
+        channels = []
+        for pair in spec:
+            chan, _, path = pair.partition("=")
+            try:
+                bank[chan] = open_source(path)
+            except SystemExit:
+                print(f"{chan:>4}: unreadable source {path}")
+                continue
+            channels.append(chan)
+        source = TunedSourceBank(bank)
+
     found = 0
-    for pair in args.channels:
-        chan, _, path = pair.partition("=")
-        from dabjax.runtime.config import ReceiverConfig
-        from dabjax.runtime.receiver import Receiver
-        try:
-            src = open_source(path)
-        except SystemExit:
-            print(f"{chan:>4}: unreadable source {path}")
-            continue
-        r = Receiver(src, ReceiverConfig(mode=args.mode))
-        r.run(args.blocks)
-        if r.metrics.synced and r.db.ensemble_label:
-            n = len([s for s in r.db.services.values() if s.has_label])
-            print(f"{chan:>4}: {r.db.ensemble_label!r} ({n} services, "
-                  f"SNR {r.metrics.snr_db:.1f} dB)")
+
+    def show(res):
+        nonlocal found
+        if res.synced and res.ensemble_label:
+            print(f"{res.channel:>4}: {res.ensemble_label!r} "
+                  f"({res.n_services} services, "
+                  f"SNR {res.snr_db:.1f} dB)")
             found += 1
         else:
-            print(f"{chan:>4}: no signal")
+            print(f"{res.channel:>4}: no signal")
+
+    band_scan(source, channels, config=ReceiverConfig(mode=args.mode),
+              blocks=args.blocks, on_result=show)
     return 0 if found else 1
 
 

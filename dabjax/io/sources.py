@@ -20,7 +20,7 @@ from typing import Iterator, Optional, Protocol
 import numpy as np
 
 __all__ = ["Source", "RawFileSource", "WavFileSource", "NullSource",
-           "SyntheticSource", "read_iq_file"]
+           "SyntheticSource", "TunedSourceBank", "read_iq_file"]
 
 
 class Source(Protocol):
@@ -201,6 +201,48 @@ class SyntheticSource:
                 self._tx = self._tx[cut:]
                 self._tx_base += cut
         out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+
+class TunedSourceBank:
+    """A tuner model over per-channel sources.
+
+    Maps DAB channel names to IQ sources (file replay in tests — one
+    recorded ensemble per channel); ``set_frequency`` selects the stream,
+    reading an unmapped or exhausted frequency yields receiver noise.
+    Gives the band scan (``dabjax.runtime.scan``) exactly the control
+    surface of the live SDR devices, the file-dict stand-in for the
+    reference's tuner (gui.cpp:561-638 scanning loop)."""
+
+    sample_rate = 2_048_000
+
+    def __init__(self, by_channel: dict, noise_level: float = 0.005,
+                 seed: int = 0):
+        from dabjax.runtime.channels import frequency_khz
+        self._by_hz = {}
+        for chan, src in by_channel.items():
+            khz = frequency_khz(chan)
+            if khz is None:
+                raise ValueError(f"unknown DAB channel {chan!r}")
+            self._by_hz[khz * 1000] = src
+        self._cur = None
+        self._noise = noise_level
+        self._rng = np.random.default_rng(seed)
+
+    def set_frequency(self, hz: int) -> None:
+        self._cur = self._by_hz.get(int(hz))
+
+    def _noise_block(self, n: int) -> np.ndarray:
+        return (self._noise * (self._rng.standard_normal(n)
+                               + 1j * self._rng.standard_normal(n))
+                ).astype(np.complex64)
+
+    def read(self, n: int) -> np.ndarray:
+        if self._cur is None:
+            return self._noise_block(n)
+        out = self._cur.read(n)
+        if out.shape[0] < n:          # exhausted recording -> noise tail
+            out = np.concatenate([out, self._noise_block(n - out.shape[0])])
         return out
 
 

@@ -183,6 +183,29 @@ class Receiver:
             self._iq_dump = IqDumpWriter(self.cfg.dump_iq_path)
         self._block_fn = self._build_block_fn()
 
+    def reset(self, source=None) -> None:
+        """Retune: clear all stream/ensemble state but keep the compiled
+        device functions — the channel-hop path of the band scan
+        (gui.cpp:561-638 re-enters startScanning without rebuilding the
+        processor chain)."""
+        if source is not None:
+            self.source = source
+        self.db = EnsembleDB()
+        self.metrics = Metrics()
+        self.audio = {}
+        self.data_handlers = {}
+        self._buf = np.zeros(0, np.complex64)
+        self._buf_base = 0
+        self._u0 = None
+        self._frame_len = float(self.p.T_F)
+        self._coarse_hz = 0.0
+        self._cif_hist = np.zeros((HISTORY, CIF_BITS), np.float32)
+        self._hist_valid = 0
+        self._decoder = None
+        self._decoder_key = None
+        self._bad_blocks = 0
+        self._unsupported_warned = set()
+
     # ------------------------------------------------------------- device
 
     def _build_block_fn(self):
@@ -381,10 +404,12 @@ class Receiver:
         else:
             self._bad_blocks = 0
 
-        # ----- MSC
-        with self.profiler.stage("msc", items=F * p.T_F):
-            cifs = np.asarray(cifs_from_soft(jnp.asarray(soft), p))
-            self._process_cifs(cifs)
+        # ----- MSC (skipped entirely in FIC-only use — e.g. the band scan
+        # only needs the ensemble DB, msc-handler stays cold)
+        if self.cfg.decode_audio or self.cfg.decode_data:
+            with self.profiler.stage("msc", items=F * p.T_F):
+                cifs = np.asarray(cifs_from_soft(jnp.asarray(soft), p))
+                self._process_cifs(cifs)
 
         self._u0 += F * self._frame_len
         self._drop_before(int(self._u0) - p.T_u)

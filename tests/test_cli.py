@@ -75,6 +75,55 @@ def test_cli_scan(raw_file, capsys):
     assert "5A: no signal" in out
 
 
+def test_cli_scan_device_hop(raw_file, capsys, monkeypatch):
+    """Live-tuner scan: a device spec hops channels via set_frequency
+    with the no-signal loop (gui.cpp:561-638) — a fake tunable device
+    records the tune sequence; 12C carries the recorded ensemble."""
+    import dabjax.cli as cli
+    from dabjax.io.sources import RawFileSource, TunedSourceBank
+
+    tuned = []
+
+    class FakeDevice(TunedSourceBank):
+        def set_frequency(self, hz):
+            tuned.append(int(hz))
+            super().set_frequency(hz)
+
+    dev = FakeDevice({"12C": RawFileSource(raw_file, loop=False)})
+    monkeypatch.setattr(cli, "open_source",
+                        lambda spec, frequency_hz=0: dev)
+    rc = main(["scan", "rtlsdr:12C,5A", "--blocks", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert tuned == [227_360_000, 174_928_000]
+    assert "DABJAX ENSEMBLE" in out
+    assert "5A: no signal" in out
+
+
+def test_band_scan_full_sweep_channels():
+    """scan DEVICE:all sweeps every Band III + L-band channel once."""
+    from dabjax.io.sources import TunedSourceBank
+    from dabjax.runtime.channels import channel_list
+    from dabjax.runtime.config import ReceiverConfig
+    from dabjax.runtime.scan import band_scan
+
+    bank = TunedSourceBank({})
+    seen = []
+
+    class Spy(TunedSourceBank):
+        pass
+
+    spy = Spy({})
+    orig = spy.set_frequency
+    spy.set_frequency = lambda hz: (seen.append(hz), orig(hz))
+    chans = channel_list("III") + channel_list("L")
+    res = band_scan(spy, chans, config=ReceiverConfig(
+        mode=1, scan_attempts=1), blocks=1)
+    del bank
+    assert len(res) == 38 + 16
+    assert len(seen) == 54 and not any(r.synced for r in res)
+
+
 def test_channel_tables():
     assert frequency_khz("5A") == 174928
     assert frequency_khz("13F") == 239200
