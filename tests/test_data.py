@@ -124,18 +124,104 @@ def test_ip_checksum_reject():
     assert h.crc_errors == 1 and h.payloads == []
 
 
-def test_journaline_nml():
-    # menu object: id 0, type 1, title + 2 items
-    nml = bytes([0, 0, (1 << 5) | 0x10, 0]) + \
-        b"News Menu\x00World\x00Sports\x00"
+def _nml_header(object_id, object_type, static=False, compressed=False,
+                revision=0):
+    flags = (object_type << 5) | (0x10 if static else 0) | \
+        (0x08 if compressed else 0) | (revision & 0x07)
+    return bytes([(object_id >> 8) & 0xFF, object_id & 0xFF, flags])
+
+
+def _menu_nml(object_id, title, items, revision=0, static=True):
+    """items: list of (link_id, text). NML.cpp:489-521 wire format."""
+    body = b"\x01" + title.encode()
+    for link, text in items:
+        body += bytes([0x02, (link >> 8) & 0xFF, link & 0xFF]) + text.encode()
+    return _nml_header(object_id, 1, static=static, revision=revision) + body
+
+
+def test_journaline_nml_menu():
+    nml = _menu_nml(0x0000, "News Menu", [(0x0101, "World"),
+                                          (0x0102, "Sports")])
     dg = build_datagroup(0, nml)
     jl = JournalineHandler()
     jl.add_datagroup(dg)
     menu = jl.menu()
     assert menu is not None
     assert menu.title == "News Menu"
-    assert menu.items == ["World", "Sports"]
+    assert [it.text for it in menu.items] == ["World", "Sports"]
+    assert menu.links == [0x0101, 0x0102]
     assert menu.object_type == 1 and menu.static_flag
+
+
+def test_journaline_nml_plain_title_list():
+    jl = JournalineHandler()
+    # plain-text object (code 0x03 body section)
+    jl.process_nml(_nml_header(0x0101, 2) + b"\x01Headline\x03Body text")
+    # title-only object
+    jl.process_nml(_nml_header(0x0102, 3) + b"\x01Just a title")
+    # list object (0x04 new row / 0x05 continuation)
+    jl.process_nml(_nml_header(0x0103, 4) +
+                   b"\x01Scores\x04Home 1:0\x05Away 2:2")
+    plain = jl.get_object(0x0101)
+    assert plain.title == "Headline"
+    assert plain.items[0].text == "Body text"
+    assert jl.get_object(0x0102).title == "Just a title"
+    assert [i.text for i in jl.get_object(0x0103).items] == \
+        ["Home 1:0", "Away 2:2"]
+
+
+def test_journaline_escape_codes_and_data_sections():
+    # 0x10 -> newline, 0x12/0x13 highlights dropped, 0x1A data section
+    # (len byte, skip len+1) excised, 0x1C skips one byte (NML.cpp:799-829)
+    text = b"AB\x10\x12CD\x13\x1a\x02XYZ\x1cZEF"
+    jl = JournalineHandler()
+    obj = jl.process_nml(_nml_header(7, 2) + b"\x01T\x03" + text)
+    assert obj.items[0].text == "AB\nCDEF"
+
+
+def test_journaline_compressed_object():
+    import zlib
+    body = b"\x01Compressed news\x03" + b"lorem ipsum " * 30
+    comp = zlib.compress(body, 9)[2:-4]       # raw deflate (wbits=-15)
+    nml = _nml_header(0x0202, 2, compressed=True) + b"\x08" + comp
+    jl = JournalineHandler()
+    obj = jl.process_nml(nml)
+    assert obj is not None and obj.title == "Compressed news"
+    assert obj.items[0].text.startswith("lorem ipsum")
+
+
+def test_journaline_revision_and_watch():
+    seen = []
+    jl = JournalineHandler(on_update=seen.append)
+    jl.watch([0x0000])
+    jl.process_nml(_menu_nml(0x0000, "v0", [(1, "a")], revision=0))
+    assert [o.title for o in seen] == ["v0"]
+    # same revision: cached copy kept, no update event
+    jl.process_nml(_menu_nml(0x0000, "ignored", [(1, "a")], revision=0))
+    assert jl.menu().title == "v0" and len(seen) == 1
+    # revision bump: replaced + update event (newssvcdec_impl.cpp:249-279)
+    jl.process_nml(_menu_nml(0x0000, "v1", [(1, "b")], revision=1))
+    assert jl.menu().title == "v1" and [o.title for o in seen][-1] == "v1"
+
+
+def test_journaline_cache_eviction_pins():
+    jl = JournalineHandler(max_objects=3)
+    jl.keep_in_cache([0])
+    for oid in range(5):
+        jl.process_nml(_nml_header(oid, 3) + b"\x01t%d" % oid)
+    assert len(jl.objects) == 3
+    assert 0 in jl.objects          # pinned survives
+    assert 4 in jl.objects          # newest survives
+    assert 1 not in jl.objects      # oldest unpinned evicted
+
+
+def test_journaline_rejects_segmented_groups():
+    # Fraunhofer datagroup layer refuses segment_flag (dabdgdec_impl.c:178)
+    nml = _nml_header(9, 3) + b"\x01seg"
+    dg = build_datagroup(0, nml, segment_number=0, last_segment=True)
+    jl = JournalineHandler()
+    jl.add_datagroup(dg)
+    assert jl.get_object(9) is None
 
 
 def test_long_dynamic_label_multi_segment():
