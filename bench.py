@@ -28,6 +28,64 @@ def _timed_run(fn, rows) -> float:
     return _t.perf_counter() - t0
 
 
+def _stage_breakdown(p, geoms, rows, iters):
+    """Per-stage seconds via cumulative-prefix timing (each prefix is its
+    own in-graph fori_loop program; stage cost = adjacent difference)."""
+    import jax
+    import jax.numpy as jnp
+    from dabjax.runtime.pipeline import pipeline_stages
+
+    prefix_t = {}
+    for name, fn in pipeline_stages(p, geoms).items():
+        @jax.jit
+        def timed(rows, fn=fn):
+            def body(_, acc):
+                return acc + fn(rows + acc * 0.0) * 1e-9
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        float(jax.block_until_ready(timed(rows)))      # compile + warm
+        prefix_t[name] = min(_timed_run(timed, rows) for _ in range(3)) / iters
+
+    order = ["demod", "fic", "deint_depunct", "viterbi_forward", "full"]
+    out, prev = {}, 0.0
+    for name in order:
+        out[name if name != "full" else "traceback_dispersal"] = \
+            round(prefix_t[name] - prev, 6)
+        prev = prefix_t[name]
+    return out
+
+
+def _viterbi_roofline(p, geoms, n_frames, stages):
+    """Speed-of-light estimate for the radix-4 Pallas Viterbi vs measured.
+
+    Work model per decoded bit per lane (viterbi_pallas.py): MXU 4096 flops
+    (one [256,16]@[16,B] branch-metric dot per pair step), HBM 96 bytes
+    (64 B soft in + 64 B decision planes out + 64 B read back per pair),
+    VPU ~750 ops (repeat/add/max/select forward + one-hot chainback).
+    TPU v5e peaks: 197 Tflop/s bf16 MXU, 819 GB/s HBM, ~6 Tops/s VPU
+    (8x128 lanes x 4 ALUs at the 1.5 GHz implied by the MXU peak).
+    """
+    g = geoms[0]
+    nbits = 24 * g.bitrate
+    n_lf = n_frames - 15                   # logical frames after warm-up
+    decoded = len(geoms) * n_lf * nbits
+    bounds = {
+        "mxu": decoded * 4096 / 197e12,
+        "hbm": decoded * 96 / 819e9,
+        "vpu": decoded * 750 / 6e12,
+    }
+    bound = max(bounds, key=bounds.get)
+    sol_t = bounds[bound]
+    meas_t = stages["viterbi_forward"] + stages["traceback_dispersal"]
+    coded = 4 * decoded
+    return {
+        "bound": bound,
+        "sol_seconds_per_batch": round(sol_t, 6),
+        "sol_coded_mbit_per_sec": round(coded / sol_t / 1e6, 1),
+        "measured_coded_mbit_per_sec": round(coded / meas_t / 1e6, 1),
+        "sol_fraction": round(sol_t / meas_t, 3),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -96,6 +154,9 @@ def main():
     float(jax.block_until_ready(timed(rows)))          # compile + warm
     dt = min(_timed_run(timed, rows) for _ in range(3)) / iters
 
+    stages = _stage_breakdown(p, geoms, rows, max(4, iters // 2))
+    roofline = _viterbi_roofline(p, geoms, n_frames, stages)
+
     samples = n_frames * p.T_F
     sps = samples / dt
     rt = sps / INPUT_RATE
@@ -115,6 +176,8 @@ def main():
             "frames_per_batch": n_frames,
             "seconds_per_batch": round(dt, 4),
             "device": str(jax.devices()[0]),
+            "stage_seconds": stages,
+            "viterbi_roofline": roofline,
         },
     }
     print(json.dumps(result))

@@ -28,36 +28,53 @@ SAMPLE_RATES = [44100, 48000, 32000, 0, 22050, 24000, 16000, 0]
 BITRATES = [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
             8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
 
-# Quantizer classes (ISO 11172-3 Table 3-B.4): (nlevels, grouping, codebits)
-QUANT = [(3, 1, 5), (5, 1, 7), (7, 0, 3), (9, 1, 10), (15, 0, 4),
-         (31, 0, 5), (63, 0, 6), (127, 0, 7), (255, 0, 8), (511, 0, 9),
-         (1023, 0, 10), (2047, 0, 11), (4095, 0, 12), (8191, 0, 13),
-         (16383, 0, 14), (32767, 0, 15), (65535, 0, 16)]
+# Quantizer classes (ISO 11172-3 Table 3-B.4) keyed by number of steps:
+# steps -> (grouping flag, code bits).  Grouped classes pack 3 samples
+# into one base-`steps` codeword.
+QUANT_BY_STEPS = {
+    3: (1, 5), 5: (1, 7), 7: (0, 3), 9: (1, 10), 15: (0, 4), 31: (0, 5),
+    63: (0, 6), 127: (0, 7), 255: (0, 8), 511: (0, 9), 1023: (0, 10),
+    2047: (0, 11), 4095: (0, 12), 8191: (0, 13), 16383: (0, 14),
+    32767: (0, 15), 65535: (0, 16),
+}
 
-# Allocation-table machinery (ISO Tables 3-B.2a..d / 13818-3 B.1), in the
-# compact row form also used by kjmp2 (mp2processor.cpp:139-194).
-QUANT_TAB_A = 27 | 64
-QUANT_TAB_B = 30 | 64
-QUANT_TAB_C = 8
-QUANT_TAB_D = 12
-_STEP1 = [[0, 0, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2],
-          [0, 0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 2, 2]]
-_STEP2 = [[QUANT_TAB_C, QUANT_TAB_C, QUANT_TAB_D],
-          [QUANT_TAB_A, QUANT_TAB_A, QUANT_TAB_A],
-          [QUANT_TAB_B, QUANT_TAB_A, QUANT_TAB_B]]
-_STEP3 = [
-    [0x44] * 2 + [0x34] * 11,                                   # low rate
-    [0x43] * 3 + [0x42] * 8 + [0x31] * 12 + [0x20] * 7,         # high rate
-    [0x45] * 4 + [0x34] * 7 + [0x24] * 19,                      # MPEG-2 LSF
-]
-_STEP4 = [
-    [0, 1, 2, 17],
-    [0, 1, 2, 3, 4, 5, 6, 17],
-    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 17],
-    [0, 1, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17],
-    [0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 17],
-    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
-]
+
+def _rows(n, nbal, steps):
+    return n * [(nbal, steps)]
+
+
+# Bit-allocation tables as the spec prints them — per subband, the number
+# of allocation bits and the possible quantizer step counts (allocation
+# code c selects steps[c-1]; c == 0 means not transmitted).
+# ISO 11172-3 Tables 3-B.2a (sblimit 27) / 3-B.2b (sblimit 30) share rows:
+_ALLOC_AB = (
+    _rows(3, 4, (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+                 16383, 32767, 65535))
+    + _rows(8, 4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                   8191, 65535))
+    + _rows(12, 3, (3, 5, 7, 9, 15, 31, 65535))
+    + _rows(7, 2, (3, 5, 65535)))
+# Tables 3-B.2c (sblimit 8) / 3-B.2d (sblimit 12) share rows:
+_ALLOC_CD = (
+    _rows(2, 4, (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+                 16383, 65535))
+    + _rows(10, 3, (3, 5, 9, 15, 31, 63, 127)))
+# ISO 13818-3 Table B.1 (MPEG-2 LSF, sblimit 30):
+_ALLOC_LSF = (
+    _rows(4, 4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                 8191, 16383))
+    + _rows(7, 3, (3, 5, 9, 15, 31, 63, 127))
+    + _rows(19, 2, (3, 5, 9)))
+
+
+def _alloc_table(bitrate_per_ch: int, sample_rate: int):
+    """MPEG-1 allocation-table selection (ISO 11172-3 §2.4.2.6, the a/b/c/d
+    applicability columns of Tables 3-B.2): returns (rows, sblimit)."""
+    if bitrate_per_ch <= 48:
+        return (_ALLOC_CD, 12) if sample_rate == 32000 else (_ALLOC_CD, 8)
+    if bitrate_per_ch <= 80 or sample_rate == 48000:
+        return _ALLOC_AB, 27
+    return _ALLOC_AB, 30
 
 #: ISO synthesis window (Table 3-B.3), float.
 D = np.array(D_FIXED, np.float64) / 65536.0
@@ -184,21 +201,21 @@ def decode_frame(frame: np.ndarray, state: Optional[_SynthesisState] = None
     if protection == 0:
         r.u(16)
 
-    if info.mpeg2:
-        table_idx, sblimit = 2, 30
-    else:
-        cls = _STEP1[0 if mode == MONO else 1][BITRATES.index(info.bitrate)]
-        sfi = SAMPLE_RATES.index(info.sample_rate)
-        t = _STEP2[cls][sfi]
-        sblimit = t & 63
-        table_idx = t >> 6
-    bound = min(bound, sblimit)
     nch = 1 if mode == MONO else 2
+    if info.mpeg2:
+        rows, sblimit = _ALLOC_LSF, 30
+    else:
+        rows, sblimit = _alloc_table(info.bitrate // nch, info.sample_rate)
+    bound = min(bound, sblimit)
 
     def read_alloc(sb: int):
-        row = _STEP3[table_idx][sb]
-        q = _STEP4[row & 15][r.u(row >> 4)]
-        return QUANT[q - 1] if q else None
+        nbal, steps = rows[sb]
+        code = r.u(nbal)
+        if code == 0:
+            return None
+        n = steps[code - 1]
+        grouping, bits = QUANT_BY_STEPS[n]
+        return n, grouping, bits
 
     alloc = [[None] * 32, [None] * 32]
     for sb in range(bound):
@@ -344,23 +361,16 @@ class Mp2Encoder:
         self._plan_allocation()
 
     def _plan_allocation(self):
-        cls = _STEP1[0 if self.mode == MONO else 1][
-            BITRATES.index(self.bitrate)]
-        t = _STEP2[cls][1]  # 48 kHz
-        self.sblimit = t & 63
-        self.table_idx = t >> 6
+        self.rows, self.sblimit = _alloc_table(self.bitrate // self.nch,
+                                               48000)
         budget = self.frame_bytes * 8 - 32  # minus header
         # per coded subband cost: nbal + 2 (scfsi) + 6 (scale) + 36*16
         self.coded_sb = []
         used = 0
         for sb in range(self.sblimit):
-            row = _STEP3[self.table_idx][sb]
-            nbal = row >> 4
-            # find allocation value giving the 16-bit quantizer (idx 16)
-            q_idx = None
-            for a, q in enumerate(_STEP4[row & 15][: 1 << nbal]):
-                if q == 17:
-                    q_idx = a
+            nbal, steps = self.rows[sb]
+            # allocation code selecting the 65535-step (16-bit) quantizer
+            q_idx = steps.index(65535) + 1 if 65535 in steps else None
             if q_idx is None:
                 continue
             cost = (nbal + 2 + 6 + 36 * 16) * self.nch
@@ -406,8 +416,7 @@ class Mp2Encoder:
         put(0, 4)          # copyright/original/emphasis
         # allocation
         for sb in range(self.sblimit):
-            row = _STEP3[self.table_idx][sb]
-            nbal = row >> 4
+            nbal, _ = self.rows[sb]
             q_idx = next((q for s, q, _ in self.coded_sb if s == sb), 0)
             for ch in range(self.nch):
                 put(q_idx if sb in self.coded_set else 0, nbal)

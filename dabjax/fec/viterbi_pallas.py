@@ -45,7 +45,7 @@ import numpy as np
 from dabjax.fec import conv
 from dabjax.fec.viterbi import _tables
 
-__all__ = ["viterbi_decode_pallas"]
+__all__ = ["viterbi_decode_pallas", "viterbi_forward_planes"]
 
 _LANES = 128
 _PAIRS_PER_WORD = 16
@@ -181,6 +181,70 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _plan(B: int, T2: int, chunk: int):
+    """Grid/tile dimensions shared by the forward and traceback passes.
+
+    Wide batches are tiled on a second (outer) grid axis of lane blocks,
+    so the time chunk stays large: VMEM per grid step ~ (soft f32
+    [C,8,LB] + dec int8 [C,64,LB]) double buffered; C*LB = 64Ki is ~12 MB.
+    """
+    LB = min(_round_up(max(B, 1), _LANES), 1024)
+    Bp = _round_up(max(B, 1), LB)
+    n_lb = Bp // LB
+    C = chunk
+    while C > 8 and C * LB > 32 * 1024:
+        C //= 2
+    Tp2 = _round_up(T2, C)
+    n_chunks = Tp2 // C
+    return LB, Bp, n_lb, C, Tp2, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "chunk", "interpret"))
+def viterbi_forward_planes(soft, nbits: int, chunk: int = 64,
+                           interpret: bool = False):
+    """Forward ACS only: ``soft`` (..., 4*(nbits+6)) -> decision planes
+    [Tp2, 64, Bp] int8 (2-bit radix-4 branch per pair step/state/lane).
+
+    The first half of :func:`viterbi_decode_pallas`, exposed so the bench
+    can split forward vs traceback time."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = nbits + conv.K - 1
+    T2 = -(-T // 2)                       # pairs (radix-4 steps)
+    lead = soft.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    LB, Bp, n_lb, C, Tp2, n_chunks = _plan(B, T2, chunk)
+
+    s = soft.reshape(B, T, 4).astype(jnp.float32)
+    s = jnp.moveaxis(s, 0, -1)                     # [T, 4, B]
+    s = jnp.pad(s, ((0, 2 * Tp2 - T), (0, 0), (0, Bp - B)))
+    s = s.reshape(Tp2, 8, Bp)                      # pair steps
+    hi = jnp.round(s * (1.0 / 256.0)) * 256.0      # bf16-exact hi/lo split
+    s = jnp.concatenate([hi, s - hi], axis=1)      # [Tp2, 16, Bp]
+
+    _, S4 = _radix4_matrices()
+    S4 = jnp.asarray(np.concatenate([S4, S4], axis=1))   # [256, 16]
+
+    return pl.pallas_call(
+        _forward_kernel(T2, C),
+        grid=(n_lb, n_chunks),
+        in_specs=[
+            pl.BlockSpec((C, 16, LB), lambda l, i: (i, 0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 16), lambda l, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, 64, LB), lambda l, i: (i, 0, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp2, 64, Bp), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((64, LB), jnp.float32)],
+        interpret=interpret,
+    )(s, S4)
+
+
 @functools.partial(jax.jit, static_argnames=("nbits", "chunk", "interpret"))
 def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
                           interpret: bool = False):
@@ -199,44 +263,11 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
     T2 = -(-T // 2)                       # pairs (radix-4 steps)
     lead = soft.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
-    # Wide batches are tiled on a second (outer) grid axis of lane blocks,
-    # so the time chunk stays large: VMEM per grid step ~ (soft f32
-    # [C,8,LB] + dec int8 [C,64,LB]) double buffered; C*LB = 64Ki is ~12 MB.
-    LB = min(_round_up(max(B, 1), _LANES), 1024)
-    Bp = _round_up(max(B, 1), LB)
-    n_lb = Bp // LB
-    C = chunk
-    while C > 8 and C * LB > 32 * 1024:
-        C //= 2
-    Tp2 = _round_up(T2, C)
-    n_chunks = Tp2 // C
+    LB, Bp, n_lb, C, Tp2, n_chunks = _plan(B, T2, chunk)
     words = -(-C // _PAIRS_PER_WORD)
 
-    s = soft.reshape(B, T, 4).astype(jnp.float32)
-    s = jnp.moveaxis(s, 0, -1)                     # [T, 4, B]
-    s = jnp.pad(s, ((0, 2 * Tp2 - T), (0, 0), (0, Bp - B)))
-    s = s.reshape(Tp2, 8, Bp)                      # pair steps
-    hi = jnp.round(s * (1.0 / 256.0)) * 256.0      # bf16-exact hi/lo split
-    s = jnp.concatenate([hi, s - hi], axis=1)      # [Tp2, 16, Bp]
-
-    _, S4 = _radix4_matrices()
-    S4 = jnp.asarray(np.concatenate([S4, S4], axis=1))   # [256, 16]
-
-    dec = pl.pallas_call(
-        _forward_kernel(T2, C),
-        grid=(n_lb, n_chunks),
-        in_specs=[
-            pl.BlockSpec((C, 16, LB), lambda l, i: (i, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 16), lambda l, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((C, 64, LB), lambda l, i: (i, 0, l),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp2, 64, Bp), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((64, LB), jnp.float32)],
-        interpret=interpret,
-    )(s, S4)
+    dec = viterbi_forward_planes(soft, nbits, chunk=chunk,
+                                 interpret=interpret)
 
     selw = pl.pallas_call(
         _traceback_kernel(C, words),

@@ -20,7 +20,8 @@ from dabjax.msc.cif import cifs_from_soft
 from dabjax.msc.subchannel import SubchGeometry, decode_subchannel
 from dabjax.ofdm import demod
 
-__all__ = ["frame_pipeline", "full_ensemble_pipeline", "example_rows"]
+__all__ = ["frame_pipeline", "full_ensemble_pipeline", "pipeline_stages",
+           "example_rows"]
 
 
 def frame_pipeline(p: DabParams):
@@ -65,6 +66,82 @@ def full_ensemble_pipeline(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
         return ok, bits
 
     return fn
+
+
+def pipeline_stages(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
+    """Cumulative sub-pipelines of :func:`full_ensemble_pipeline` for the
+    bench's per-stage breakdown (BASELINE.md "Kernel metric" row).
+
+    Returns an ordered dict of name -> fn(rows) -> f32 scalar; each fn is a
+    strict prefix of the full pipeline and folds EVERY computed output into
+    the scalar (unconsumed outputs get dead-code-eliminated — CLAUDE.md
+    timing discipline).  Stage cost = difference of adjacent prefix times:
+    demod | fic | deint_depunct | viterbi_forward | traceback_dispersal.
+    """
+    from dabjax.fec import puncture
+    from dabjax.fec.viterbi_pallas import viterbi_forward_planes
+    from dabjax.msc.deinterleave import time_deinterleave
+
+    starts = np.array([g.start_addr * 64 for g in geoms])
+    n_bits = geoms[0].length_cus * 64
+    proto = geoms[0]
+    if proto.protection == "UEP":
+        lengths, pis = puncture.uep_profile(proto.bitrate, proto.prot_level)
+    else:
+        lengths, pis = puncture.eep_profile(proto.bitrate, proto.prot_level,
+                                            proto.protection[-1])
+
+    def _front(rows):
+        rows = unpack_iq(rows)
+        fine = demod.fine_cfo_estimate(rows, p)
+        rows = demod.apply_cfo(rows, fine)
+        soft, _ = demod.demodulate_frames(rows, p)
+        return soft
+
+    def _fic(soft):
+        fibs, ok = decode_fic(soft[:, : p.fic_symbols, :], p)
+        return (jnp.sum(fibs).astype(jnp.float32)
+                + jnp.sum(ok).astype(jnp.float32))
+
+    def _prep(soft):
+        cifs = cifs_from_soft(soft, p)
+        idx = starts[:, None] + np.arange(n_bits)[None, :]
+        slices = cifs[:, idx].transpose(1, 0, 2)
+        deint = time_deinterleave(slices)
+        return puncture.depuncture_profile(deint, lengths, pis)
+
+    def s_demod(rows):
+        return jnp.sum(_front(rows))
+
+    def s_fic(rows):
+        soft = _front(rows)
+        return jnp.sum(soft) + _fic(soft)
+
+    def s_prep(rows):
+        soft = _front(rows)
+        return jnp.sum(soft) + _fic(soft) + jnp.sum(_prep(soft))
+
+    interpret = jax.default_backend() == "cpu"   # pallas smoke-test path
+
+    def s_forward(rows):
+        soft = _front(rows)
+        full = _prep(soft)
+        dec = viterbi_forward_planes(full, 24 * proto.bitrate,
+                                     interpret=interpret)
+        # dec[0,0] keeps the (opaque, non-DCE-able) pallas call alive
+        # without a full-plane reduction inflating the measurement
+        return (jnp.sum(soft) + _fic(soft) + jnp.sum(full)
+                + jnp.sum(dec[0, 0].astype(jnp.float32)))
+
+    full_fn = full_ensemble_pipeline(p, geoms)
+
+    def s_full(rows):
+        ok, bits = full_fn(rows)
+        return (jnp.sum(ok).astype(jnp.float32)
+                + jnp.sum(bits).astype(jnp.float32))
+
+    return {"demod": s_demod, "fic": s_fic, "deint_depunct": s_prep,
+            "viterbi_forward": s_forward, "full": s_full}
 
 
 def example_rows(p: DabParams, n_frames: int = 2, seed: int = 0):
