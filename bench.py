@@ -66,7 +66,10 @@ def _viterbi_roofline(p, geoms, n_frames, stages):
     """
     g = geoms[0]
     nbits = 24 * g.bitrate
-    n_lf = n_frames - 15                   # logical frames after warm-up
+    # logical frames after warm-up: one per CIF (Mode I carries 4 CIFs per
+    # DAB frame), minus the 15-CIF de-interleaver history the pipeline drops
+    # (decode_subchannel returns T-15 rows).
+    n_lf = n_frames * p.cifs_per_frame - 15
     decoded = len(geoms) * n_lf * nbits
     bounds = {
         "mxu": decoded * 4096 / 197e12,

@@ -137,14 +137,20 @@ def parse_nml(data: bytes) -> Optional[NmlObject]:
 
     body = data[_NML_HEADER_BYTES:]
     if compressed:
-        # 0x08 magic byte, then a raw deflate stream (NML.cpp:372-385)
+        # 0x08 magic byte, then a raw deflate stream (NML.cpp:372-385).
+        # Decompress with a hard output cap, like the reference's inflate
+        # into a fixed 4092-byte buffer (NML.cpp:390) — an unbounded
+        # zlib.decompress would let a hostile few-KB datagroup expand to
+        # megabytes on the host before the length check.
         if not body or body[0] != 0x08:
             return None
+        cap = _NML_MAX_LEN - _NML_HEADER_BYTES
         try:
-            body = zlib.decompress(body[1:], wbits=-15)
+            d = zlib.decompressobj(wbits=-15)
+            body = d.decompress(body[1:], cap + 1)
         except zlib.error:
             return None
-        if len(body) + _NML_HEADER_BYTES > _NML_MAX_LEN:
+        if len(body) > cap or not d.eof:
             return None
 
     # title section is mandatory and first (NML.cpp:434-455)
@@ -226,12 +232,15 @@ class JournalineHandler:
         dg = parse_datagroup(dg_bytes)
         if dg is None:
             return
-        if dg.group_type != 0 or dg.segment_number is not None:
-            return                      # Fraunhofer layer rejects both
+        # Track continuity over EVERY CRC-valid datagroup in the stream —
+        # interleaved non-type-0 groups advance the continuity index too,
+        # and counting them as gaps would report false discontinuities.
         if self._last_continuity is not None:
             if dg.continuity != (self._last_continuity + 1) % 16:
                 self.discontinuities += 1
         self._last_continuity = dg.continuity
+        if dg.group_type != 0 or dg.segment_number is not None:
+            return                      # Fraunhofer layer rejects both
         self.process_nml(dg.payload)
 
     # -- news-service layer (newssvcdec_impl.cpp:172-335) ----------------
