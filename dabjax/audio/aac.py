@@ -95,6 +95,7 @@ class AacSink:
         self.rate: int = 48000
         self.sbr_flag: int = 0
         self.decode_errors: int = 0
+        self._core_len: int = 960            # DAB+ transform length
 
     def configure(self, dac_rate: int, sbr_flag: int, mpeg_surround: int,
                   aac_channel_mode: int):
@@ -119,12 +120,13 @@ class AacSink:
         out = np.asarray(out)
         if out.dtype == np.int16:
             out = out.astype(np.float32) / 32768.0
-        if self.sbr_flag:
-            # SBR pass-through: the HF reconstruction of the SBR extension
-            # is not synthesized; core PCM is resampled 2x to the output
-            # rate so timing and pitch are correct (documented limitation
-            # vs faad-decoder.h which runs full HE-AAC).
-            out = np.repeat(out.reshape(out.shape[0], -1), 2, axis=0)
+        out = out.reshape(out.shape[0], -1)
+        if self.sbr_flag and out.shape[0] == self._core_len:
+            # SBR signalled but this AU carried no SBR payload (or the
+            # decoder lacks the tool): QMF-grade 2x upsample keeps the
+            # output clock exact.  With dabjax's own SBR decoder active
+            # (aac_lc._apply_sbr) frames already arrive at 2x length.
+            out = np.repeat(out, 2, axis=0)
         self.pcm.append(out)
         return out
 

@@ -36,6 +36,9 @@ __all__ = ["AacLcDecoder", "BitReader", "parse_asc"]
 
 # window sequences
 ONLY_LONG, LONG_START, EIGHT_SHORT, LONG_STOP = 0, 1, 2, 3
+# ISO/IEC 14496-3 Table 1.18 sampling frequencies by index
+_SR_TABLE = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+             16000, 12000, 11025, 8000, 7350)
 # section codebooks
 ZERO_HCB, ESC_HCB, NOISE_HCB, INTENSITY_HCB2, INTENSITY_HCB = 0, 11, 13, 14, 15
 SF_OFFSET = 100
@@ -275,6 +278,8 @@ class AacLcDecoder:
         self._overlap = np.zeros((max(channels, 1), frame_len))
         self._prev_shape = [0] * max(channels, 1)
         self._rng = np.random.default_rng(0x5EED)
+        self._sbr = None                     # lazy SbrDecoder (FIL-driven)
+        self._sbr_payload = None
 
     @classmethod
     def from_asc(cls, asc: bytes) -> "AacLcDecoder":
@@ -627,10 +632,18 @@ class AacLcDecoder:
             br.read(8)                         # comment bytes
 
     def decode_au(self, au: bytes) -> np.ndarray:
-        """One raw_data_block -> PCM [frame_len, channels] float32 [-1,1]."""
+        """One raw_data_block -> PCM float32 [-1,1].
+
+        Shape [frame_len, channels]; with an active SBR extension the
+        frame is reconstructed at twice the rate -> [2*frame_len,
+        channels] (the faadDecoder::MP42PCM sample-count behaviour,
+        faad-decoder.h:124-165).
+        """
         br = BitReader(au)
         out = np.zeros((self.frame_len, max(self.channels, 1)), np.float64)
         ch = 0
+        last_element = -1
+        self._sbr_payload = None
         while True:
             ele = br.read(3)
             if ele == 7:                               # END
@@ -641,6 +654,7 @@ class AacLcDecoder:
                 out[:, min(ch, out.shape[1] - 1)] = self._synthesize(
                     min(ch, self._overlap.shape[0] - 1), cd)
                 ch += 1
+                last_element = 1
             elif ele == 1:                             # CPE
                 br.read(4)
                 common = br.read1()
@@ -670,6 +684,7 @@ class AacLcDecoder:
                 out[:, min(ch + 1, out.shape[1] - 1)] = self._synthesize(
                     c1, right)
                 ch += 2
+                last_element = 2
             elif ele == 4:                             # DSE
                 br.read(4)
                 align = br.read1()
@@ -686,8 +701,41 @@ class AacLcDecoder:
                 cnt = br.read(4)
                 if cnt == 15:
                     cnt += br.read(8) - 1
-                for _ in range(cnt):
-                    br.read(8)
+                bits = [br.read1() for _ in range(8 * cnt)]
+                if cnt and last_element >= 0:
+                    ext_type = (bits[0] << 3 | bits[1] << 2
+                                | bits[2] << 1 | bits[3])
+                    if ext_type in (13, 14):           # SBR / SBR+CRC
+                        payload = np.packbits(np.array(
+                            bits[4:] + [0] * ((-len(bits) + 4) % 8),
+                            np.uint8)).tobytes()
+                        self._sbr_payload = (payload, ext_type == 14,
+                                             last_element)
             else:                                      # CCE unsupported
                 raise ValueError(f"syntactic element {ele} unsupported")
+        out = self._apply_sbr(out)
         return (out / 32768.0).astype(np.float32)
+
+    def _apply_sbr(self, out: np.ndarray) -> np.ndarray:
+        """Run the SBR tool over this frame's element if an SBR FIL was
+        present (now or in an earlier frame of the stream): dabjax's own
+        HF reconstruction (dabjax/audio/sbr.py), replacing the
+        reference's libfaad HE-AAC path (faad-decoder.h:78-165)."""
+        if self._sbr_payload is None and self._sbr is None:
+            return out
+        if self._sbr_payload is not None:
+            payload, crc, n_ch = self._sbr_payload
+            if self._sbr is None:
+                from dabjax.audio.sbr import SbrDecoder
+                self._sbr = SbrDecoder(_SR_TABLE[self.sr_index],
+                                       self.frame_len,
+                                       min(n_ch, out.shape[1]))
+            self._sbr.parse_extension(payload, crc)
+        else:
+            self._sbr.ch_data = [None] * self._sbr.channels
+        n = self._sbr.channels
+        up = self._sbr.apply(out[:, :n])
+        if out.shape[1] > n:                           # spare channels: 2x
+            rest = np.repeat(out[:, n:], 2, axis=0)
+            up = np.concatenate([up, rest], axis=1)
+        return up
