@@ -188,7 +188,7 @@ def _plan(B: int, T2: int, chunk: int):
     so the time chunk stays large: VMEM per grid step ~ (soft f32
     [C,8,LB] + dec int8 [C,64,LB]) double buffered; C*LB = 64Ki is ~12 MB.
     """
-    LB = min(_round_up(max(B, 1), _LANES), 1024)
+    LB = min(_round_up(max(B, 1), _LANES), 8 * 1024)
     Bp = _round_up(max(B, 1), LB)
     n_lb = Bp // LB
     C = chunk
