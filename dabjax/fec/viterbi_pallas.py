@@ -10,21 +10,26 @@ re-expressed as dense MXU work instead of SIMD shuffles
 * **radix-4 ACS**: two trellis steps fuse into one 64->64 transition with
   4 branches, halving the sequential chain; the predecessor "gather" is
   an exact sublane repeat (the row identity ``4p + (n&3) == 64e + n``)
-  and the pair branch metrics are one ``S4[256, 16] @ soft2[16, B]`` MXU
-  dot over a bf16-exact hi/lo split of the soft values (a plain f32 dot
-  rounds through one bf16 pass and flips near-tie decisions on noisy
-  inputs; Precision.HIGHEST lowers 3x slower),
-* **no per-step renormalization**: all inputs are integer-valued soft bits
-  (|soft| <= 127), so path metrics stay exact integers in float32 as long
-  as they remain below 2^24; the worst case 508 * (nbits + 6) is ~4.7M for
-  the largest DAB subchannel (384 kbps), well inside the exact range —
-  comparisons are therefore bit-identical to integer arithmetic,
-* per-pair 2-bit decisions stream to HBM as int8 ``[T2, 64, B]`` planes;
-  a second kernel walks them backwards with a one-hot state select (the
-  chainback_viterbi analog, ``viterbi.cpp:333-357``) and emits the chosen
-  branch sequence packed 16 pairs per int32 word (Mosaic cannot prove a
-  row store at a dynamic sublane index is tile-aligned, and bit-packing
-  is cheaper than masked full-tile writes),
+  and the pair branch metrics are one ``S4[256, 8] @ soft[8, B]`` MXU
+  dot.  Soft inputs are **integer-valued** (|soft| <= 127, the
+  reference's int8 soft-bit convention, ofdm-decoder.cpp:188-189), so
+  the single default-precision bf16 MXU pass is *exact* (integers
+  |x| <= 256 are exact in bf16) — no multi-pass or hi/lo split needed,
+* **no per-step renormalization**: integer soft bits keep path metrics
+  exact integers in float32 as long as they remain below 2^24; the worst
+  case 508 * (nbits + 6) is ~4.7M for the largest DAB subchannel
+  (384 kbps), well inside the exact range — comparisons are therefore
+  bit-identical to integer arithmetic,
+* per-pair 2-bit decisions are **packed 16 pair steps per int32 word**
+  before leaving the kernel (pair step j of word w sits at bits
+  2j..2j+1): a [W, 64, B] int32 plane is 4x less HBM traffic than
+  per-step int8 planes and avoids the 32->8-bit vector repack entirely
+  (this dropped the forward pass ~3x on the axon runtime),
+* the chunk loop is a *python-unrolled* 16-step body (one word) — all
+  soft reads and the decision store use static indices,
+* a second kernel walks the words backwards with a one-hot state select
+  (the chainback_viterbi analog, ``viterbi.cpp:333-357``) and emits the
+  chosen branch sequence in the same 16-pairs-per-int32 packing,
 * the decoded bits are a shifted copy of the chosen-branch sequence
   (a branch enters the 6-bit shift register at bits 4..5 and is emitted
   three pairs later), recovered with cheap elementwise XLA ops.
@@ -32,7 +37,7 @@ re-expressed as dense MXU work instead of SIMD shuffles
 Tie-breaking matches the radix-2 reference decoder exactly: the second
 step's decision compares the per-first-decision maxima with strict ``>``,
 so ties prefer decision 0 at both steps — bit-exact with
-:func:`dabjax.fec.viterbi.viterbi_decode_np`.
+:func:`dabjax.fec.viterbi.viterbi_decode_np` on integer-valued inputs.
 """
 
 from __future__ import annotations
@@ -45,7 +50,7 @@ import numpy as np
 from dabjax.fec import conv
 from dabjax.fec.viterbi import _tables
 
-__all__ = ["viterbi_decode_pallas", "viterbi_forward_planes"]
+__all__ = ["viterbi_decode_pallas", "viterbi_forward_words"]
 
 _LANES = 128
 _PAIRS_PER_WORD = 16
@@ -77,17 +82,20 @@ def _radix4_matrices():
     return P4, S4
 
 
-def _forward_kernel(T2, C):
+def _forward_kernel(T2, soft_fmt):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    C = _PAIRS_PER_WORD
+
     def kernel(soft_ref, s_ref, dec_ref, pm_ref):
-        # grid (lane_blocks, time_chunks), time fastest.  soft_ref
-        # [C, 16, LB] (hi/lo split soft bits of pair steps); s_ref [256, 16];
-        # dec_ref [C, 64, LB] int8 out (2-bit branch e); pm_ref [64, LB] f32
-        # scratch (path metrics, exact integers), persisted across the time
-        # chunks of one lane block.
+        # grid (lane_blocks, words), words fastest.  soft_ref [C*8, LB]
+        # int8 (or [C, 8, LB] f32): the 8 soft values of each of the C
+        # pair steps; s_ref [256, 8] f32; dec_ref [1, 64, LB] int32 out
+        # (16 packed 2-bit branch decisions); pm_ref [64, LB] f32 scratch
+        # (path metrics, exact integers), persisted across the words of
+        # one lane block.
         B = pm_ref.shape[1]
 
         @pl.when(pl.program_id(1) == 0)
@@ -96,18 +104,17 @@ def _forward_kernel(T2, C):
             pm_ref[:] = jnp.where(state_ids == 0, 0.0, -1e9)
 
         base = pl.program_id(1) * C
+        acc = jnp.zeros((64, B), jnp.int32)
 
-        def body(t, _):
-            # Branch metrics on the MXU.  A default f32 dot rounds through
-            # one bf16 pass (8 mantissa bits) and flips near-tie decisions
-            # on noisy inputs; Precision.HIGHEST lowers poorly here (3x
-            # cost).  The caller pre-splits the soft values into two
-            # bf16-exact parts (hi = 256k with |k|<=128, lo in [-128,128])
-            # stacked on the K axis, so ONE cheap default-precision K=16
-            # dot is exact for the integer-valued soft bits (|soft| <
-            # 2^15) the decode contract requires.
+        for j in range(C):                     # unrolled: static indices
+            if soft_fmt == "i8":
+                x = soft_ref[8 * j: 8 * j + 8, :].astype(jnp.float32)
+            else:
+                x = soft_ref[j]
+            # Branch metrics on the MXU.  Integer soft values are exact
+            # through the single default-precision bf16 pass.
             bm = jax.lax.dot_general(
-                s_ref[:], soft_ref[t], (((1,), (0,)), ((), ())),
+                s_ref[:], x, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)               # [256, B]
             # predecessor row identity: with rows ordered e*64+n, the
             # predecessor p = (n>>2)|(e<<4) satisfies 4p + (n&3) == 64e+n,
@@ -123,30 +130,33 @@ def _forward_kernel(T2, C):
             b = jnp.maximum(m01, m11)                 # select between i1s
             db = (m11 > m01).astype(jnp.int32)
             d1 = b > a
-            # dec is masked below, so pads only ever see e=0; pm may evolve
-            # freely past T2 — padded chunks are last, never re-read
-            valid = base + t < T2
+            # packed pads are masked to e=0 below, so traceback's state
+            # walk is a no-op through them; pm may evolve freely past T2 —
+            # padded steps are last, never re-read
             pm_ref[:] = jnp.where(d1, b, a)
             d0 = jnp.where(d1, db, da)
             e = (d0 << 1) | d1.astype(jnp.int32)
-            dec_ref[t] = jnp.where(valid, e, 0).astype(jnp.int8)
-            return 0
-
-        jax.lax.fori_loop(0, C, body, 0)
+            e = jnp.where(base + j < T2, e, 0)
+            acc = acc | (e << (2 * j))
+        dec_ref[0] = acc
 
     return kernel
 
 
-def _traceback_kernel(C, words):
+def _traceback_kernel():
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    C = _PAIRS_PER_WORD
+
     def kernel(dec_ref, sel_ref, state_ref):
-        # grid (lane_blocks, time_chunks), time fastest in REVERSE chunk
-        # order.  dec_ref [C, 64, LB] int8; sel_ref [1, words, LB] int32 out
-        # (chosen branches, 2 bits per pair, pair i of the word in bits
-        # 2i..2i+1); state_ref [1, LB] int32 scratch per lane block.
+        # grid (lane_blocks, words), words fastest in REVERSE order.
+        # dec_ref [1, 64, LB] int32 packed decisions; sel_ref [1, 8, LB]
+        # int32 out (chosen branches, pair j of the word in bits 2j..2j+1,
+        # replicated over the 8 sublanes — Mosaic requires sublane-dim
+        # blocks divisible by 8); state_ref [1, LB] int32 scratch per lane
+        # block.
         B = state_ref.shape[1]
 
         @pl.when(pl.program_id(1) == 0)
@@ -154,25 +164,15 @@ def _traceback_kernel(C, words):
             state_ref[:] = jnp.zeros((1, B), jnp.int32)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
-
-        # walk pairs within the chunk in reverse, accumulating each word's
-        # 16 branch values; word boundaries are static so stores align.
-        for w in range(words - 1, -1, -1):
-            lo = w * _PAIRS_PER_WORD
-            hi = min(C, lo + _PAIRS_PER_WORD)
-
-            def body(i, acc, lo=lo, hi=hi):
-                t = hi - 1 - i
-                d = dec_ref[t].astype(jnp.int32)            # [64, B]
-                mask = (rows == state_ref[:]).astype(jnp.int32)
-                e = jnp.sum(mask * d, axis=0, keepdims=True)  # [1, B]
-                acc = acc | (e << (2 * (t - lo)))
-                state_ref[:] = (state_ref[:] >> 2) | (e << 4)
-                return acc
-
-            acc = jax.lax.fori_loop(0, hi - lo, body,
-                                    jnp.zeros((1, B), jnp.int32))
-            sel_ref[0, w] = acc[0]
+        d = dec_ref[0]                                      # [64, B]
+        acc = jnp.zeros((1, B), jnp.int32)
+        for j in range(C - 1, -1, -1):                      # unrolled
+            e_all = (d >> (2 * j)) & 3
+            mask = (rows == state_ref[:]).astype(jnp.int32)
+            e = jnp.sum(mask * e_all, axis=0, keepdims=True)  # [1, B]
+            acc = acc | (e << (2 * j))
+            state_ref[:] = (state_ref[:] >> 2) | (e << 4)
+        sel_ref[0] = jnp.broadcast_to(acc, (8, B))
 
     return kernel
 
@@ -181,32 +181,41 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _plan(B: int, T2: int, chunk: int):
+def _plan(B: int, T2: int, soft_fmt: str):
     """Grid/tile dimensions shared by the forward and traceback passes.
 
-    Wide batches are tiled on a second (outer) grid axis of lane blocks,
-    so the time chunk stays large: VMEM per grid step ~ (soft f32
-    [C,8,LB] + dec int8 [C,64,LB]) double buffered; C*LB = 64Ki is ~12 MB.
+    Wide batches are tiled on a second (outer) grid axis of lane blocks.
+    VMEM per forward grid step, double-buffered in/out plus the pm
+    scratch: i8 soft block [128, LB] (128 B/lane) or f32 [16, 8, LB]
+    (512 B/lane), dec out [1, 64, LB] int32 (256 B/lane), pm [64, LB]
+    f32 (256 B/lane) -> ~1 KB/lane (f32) or ~0.9 KB/lane (i8); the LB
+    caps keep that under ~10 MB of the 16 MB scoped VMEM.
     """
-    LB = min(_round_up(max(B, 1), _LANES), 8 * 1024)
+    cap = 8192 if soft_fmt == "i8" else 5120
+    LB = min(_round_up(max(B, 1), _LANES), cap)
     Bp = _round_up(max(B, 1), LB)
     n_lb = Bp // LB
-    C = chunk
-    while C > 8 and C * LB > 32 * 1024:
-        C //= 2
-    Tp2 = _round_up(T2, C)
-    n_chunks = Tp2 // C
-    return LB, Bp, n_lb, C, Tp2, n_chunks
+    Tp2 = _round_up(T2, _PAIRS_PER_WORD)
+    W = Tp2 // _PAIRS_PER_WORD
+    return LB, Bp, n_lb, Tp2, W
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "chunk", "interpret"))
-def viterbi_forward_planes(soft, nbits: int, chunk: int = 64,
-                           interpret: bool = False):
-    """Forward ACS only: ``soft`` (..., 4*(nbits+6)) -> decision planes
-    [Tp2, 64, Bp] int8 (2-bit radix-4 branch per pair step/state/lane).
+# soft-input format for the forward kernel: "i8" streams packed int8 soft
+# values (4x less HBM traffic), "f32" streams float planes.  Both are
+# exact for integer-valued soft bits; "i8" wins on the axon runtime.
+SOFT_FMT = "i8"
 
-    The first half of :func:`viterbi_decode_pallas`, exposed so the bench
-    can split forward vs traceback time."""
+
+@functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
+def viterbi_forward_words(soft, nbits: int, interpret: bool = False):
+    """Forward ACS only: ``soft`` (..., 4*(nbits+6)) -> packed decision
+    words [W, 64, Bp] int32 (16 pair steps per word, pair j of word w at
+    bits 2j..2j+1, radix-4 branch e per pair step/state/lane).
+
+    ``soft`` must be integer-valued with |soft| <= 127 (the decode
+    contract; demod emits rounded soft bits).  The first half of
+    :func:`viterbi_decode_pallas`, exposed so the bench can split forward
+    vs traceback time."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -216,42 +225,55 @@ def viterbi_forward_planes(soft, nbits: int, chunk: int = 64,
     T2 = -(-T // 2)                       # pairs (radix-4 steps)
     lead = soft.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
-    LB, Bp, n_lb, C, Tp2, n_chunks = _plan(B, T2, chunk)
+    LB, Bp, n_lb, Tp2, W = _plan(B, T2, SOFT_FMT)
 
-    s = soft.reshape(B, T, 4).astype(jnp.float32)
-    s = jnp.moveaxis(s, 0, -1)                     # [T, 4, B]
-    s = jnp.pad(s, ((0, 2 * Tp2 - T), (0, 0), (0, Bp - B)))
-    s = s.reshape(Tp2, 8, Bp)                      # pair steps
-    hi = jnp.round(s * (1.0 / 256.0)) * 256.0      # bf16-exact hi/lo split
-    s = jnp.concatenate([hi, s - hi], axis=1)      # [Tp2, 16, Bp]
+    s = soft.reshape(B, T, 4)
+    if SOFT_FMT == "i8":
+        # clip is the identity for in-contract inputs (demod emits
+        # |soft| <= 127); out-of-range values saturate instead of
+        # wrapping in the int8 cast
+        s = jnp.clip(s, -127, 127).astype(jnp.int8)
+    else:
+        s = s.astype(jnp.float32)
+    s = jnp.pad(s, ((0, 0), (0, 2 * Tp2 - T), (0, 0)))
+    s = jnp.moveaxis(s.reshape(B, Tp2, 8), 0, -1)  # [Tp2, 8, B]
+    s = jnp.pad(s, ((0, 0), (0, 0), (0, Bp - B)))
 
     _, S4 = _radix4_matrices()
-    S4 = jnp.asarray(np.concatenate([S4, S4], axis=1))   # [256, 16]
+    S4 = jnp.asarray(S4)                             # [256, 8]
+
+    if SOFT_FMT == "i8":
+        s = s.reshape(Tp2 * 8, Bp)
+        soft_spec = pl.BlockSpec((_PAIRS_PER_WORD * 8, LB),
+                                 lambda l, i: (i, l),
+                                 memory_space=pltpu.VMEM)
+    else:
+        soft_spec = pl.BlockSpec((_PAIRS_PER_WORD, 8, LB),
+                                 lambda l, i: (i, 0, l),
+                                 memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _forward_kernel(T2, C),
-        grid=(n_lb, n_chunks),
+        _forward_kernel(T2, SOFT_FMT),
+        grid=(n_lb, W),
         in_specs=[
-            pl.BlockSpec((C, 16, LB), lambda l, i: (i, 0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 16), lambda l, i: (0, 0),
+            soft_spec,
+            pl.BlockSpec((256, 8), lambda l, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, 64, LB), lambda l, i: (i, 0, l),
+        out_specs=pl.BlockSpec((1, 64, LB), lambda l, i: (i, 0, l),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp2, 64, Bp), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((W, 64, Bp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((64, LB), jnp.float32)],
         interpret=interpret,
     )(s, S4)
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "chunk", "interpret"))
-def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
-                          interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
+def viterbi_decode_pallas(soft, nbits: int, interpret: bool = False):
     """Batched Pallas decode: ``soft`` (..., 4*(nbits+6)) -> (..., nbits).
 
-    Drop-in for :func:`dabjax.fec.viterbi.viterbi_decode_jax`; ``chunk`` is
-    the number of radix-4 pair steps per grid step; ``interpret`` runs the
+    Drop-in for :func:`dabjax.fec.viterbi.viterbi_decode_jax` on
+    integer-valued soft inputs (|soft| <= 127); ``interpret`` runs the
     kernels in the Pallas interpreter (CPU test path).
     """
     import jax
@@ -263,37 +285,34 @@ def viterbi_decode_pallas(soft, nbits: int, chunk: int = 64,
     T2 = -(-T // 2)                       # pairs (radix-4 steps)
     lead = soft.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
-    LB, Bp, n_lb, C, Tp2, n_chunks = _plan(B, T2, chunk)
-    words = -(-C // _PAIRS_PER_WORD)
+    LB, Bp, n_lb, Tp2, W = _plan(B, T2, SOFT_FMT)
 
-    dec = viterbi_forward_planes(soft, nbits, chunk=chunk,
-                                 interpret=interpret)
+    dec = viterbi_forward_words(soft, nbits, interpret=interpret)
 
     selw = pl.pallas_call(
-        _traceback_kernel(C, words),
-        grid=(n_lb, n_chunks),
+        _traceback_kernel(),
+        grid=(n_lb, W),
         in_specs=[
-            pl.BlockSpec((C, 64, LB),
-                         lambda l, i, n=n_chunks: (n - 1 - i, 0, l),
+            pl.BlockSpec((1, 64, LB),
+                         lambda l, i, n=W: (n - 1 - i, 0, l),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, words, LB),
-                               lambda l, i, n=n_chunks: (n - 1 - i, 0, l),
+        out_specs=pl.BlockSpec((1, 8, LB),
+                               lambda l, i, n=W: (n - 1 - i, 0, l),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks, words, Bp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((W, 8, Bp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, LB), jnp.int32)],
         interpret=interpret,
     )(dec)
 
     # unpack the chosen-branch sequence in batch-major layout: transposing
-    # the small packed tensor first (KBs) means the big bit tensor is built
+    # the small packed tensor first (MBs) means the big bit tensor is built
     # directly as [B, nbits] with no large fused transpose (which the axon
     # runtime miscompiles when combined with a broadcast consumer).
-    selw_t = jnp.transpose(selw, (2, 0, 1))             # [Bp, n_chunks, words]
+    selw_t = jnp.transpose(selw[:, 0, :], (1, 0))       # [Bp, W]
     shifts = 2 * jnp.arange(_PAIRS_PER_WORD, dtype=jnp.int32)
-    e_seq = (selw_t[:, :, :, None] >> shifts[None, None, None, :]) & 3
-    e_seq = e_seq.reshape(Bp, n_chunks, words * _PAIRS_PER_WORD)
-    e_seq = e_seq[:, :, :C].reshape(Bp, Tp2)
+    e_seq = (selw_t[:, :, None] >> shifts[None, None, :]) & 3
+    e_seq = e_seq.reshape(Bp, Tp2)
     # a branch enters the register at bits 4..5 and reaches bits 0..1 three
     # pairs later: bits[2*tau] = e[tau+3] >> 1, bits[2*tau+1] = e[tau+3] & 1
     n_pairs = -(-nbits // 2)

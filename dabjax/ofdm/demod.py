@@ -62,10 +62,16 @@ def demodulate_frames(samples: jnp.ndarray, p: DabParams
     # on the experimental axon TPU backend, float gathers are fine, and the
     # per-bin DQPSK is elementwise so the reordering is exact.
     r1 = spec[:, 1:, :] * jnp.conj(spec[:, :-1, :])   # [F, L-1, T_u]
-    ab = jnp.abs(r1) + 1e-20
-    soft_re = (-jnp.real(r1) / ab * 127.0)[:, :, cb]  # [F, L-1, K]
-    soft_im = (-jnp.imag(r1) / ab * 127.0)[:, :, cb]
-    soft = jnp.concatenate([soft_re, soft_im], axis=-1).astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.real(r1) ** 2 + jnp.imag(r1) ** 2 + 1e-38)
+    soft_re = (-jnp.real(r1) * inv * 127.0)[:, :, cb]  # [F, L-1, K]
+    soft_im = (-jnp.imag(r1) * inv * 127.0)[:, :, cb]
+    soft = jnp.concatenate([soft_re, soft_im], axis=-1)
+    # integer soft bits (the reference's int16-clamped-to-+-127 convention,
+    # ofdm-decoder.cpp:188-189): downstream stages preserve integrality
+    # (de-interleave permutes, depuncture inserts zeros), which lets the
+    # Pallas Viterbi kernel stream int8 soft values and use a single exact
+    # bf16 MXU pass (viterbi_pallas.py).
+    soft = jnp.round(soft).astype(jnp.float32)
     return soft, spec[:, 0, :]
 
 

@@ -79,7 +79,7 @@ def pipeline_stages(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
     demod | fic | deint_depunct | viterbi_forward | traceback_dispersal.
     """
     from dabjax.fec import puncture
-    from dabjax.fec.viterbi_pallas import viterbi_forward_planes
+    from dabjax.fec.viterbi_pallas import viterbi_forward_words
     from dabjax.msc.deinterleave import time_deinterleave
 
     starts = np.array([g.start_addr * 64 for g in geoms])
@@ -126,8 +126,8 @@ def pipeline_stages(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
     def s_forward(rows):
         soft = _front(rows)
         full = _prep(soft)
-        dec = viterbi_forward_planes(full, 24 * proto.bitrate,
-                                     interpret=interpret)
+        dec = viterbi_forward_words(full, 24 * proto.bitrate,
+                                    interpret=interpret)
         # dec[0,0] keeps the (opaque, non-DCE-able) pallas call alive
         # without a full-plane reduction inflating the measurement
         return (jnp.sum(soft) + _fic(soft) + jnp.sum(full)

@@ -18,6 +18,7 @@ def test_pallas_high_noise_ties():
     bits = rng.integers(0, 2, shape + (nbits,), np.uint8)
     soft = (conv.encode(bits).astype(np.float32) * 2 - 1) * 100
     soft += np.round(rng.standard_normal(soft.shape) * 80).astype(np.float32)
+    soft = np.clip(soft, -127, 127)       # the int8 soft-bit contract
     want = viterbi_decode_np(soft, nbits)
     got = np.asarray(viterbi_decode_pallas(soft, nbits, interpret=True))
     np.testing.assert_array_equal(got, want)
@@ -36,6 +37,7 @@ def test_pallas_matches_numpy(nbits, shape):
               conv.encode(bits[None])[0])
     soft = (coded.astype(np.float32) * 2 - 1) * 100
     soft += np.round(rng.standard_normal(soft.shape) * 40).astype(np.float32)
+    soft = np.clip(soft, -127, 127)       # the int8 soft-bit contract
     want = viterbi_decode_np(soft, nbits)
     got = np.asarray(viterbi_decode_pallas(soft, nbits, interpret=True))
     np.testing.assert_array_equal(got, want)

@@ -17,7 +17,7 @@ import numpy as np
 
 from dabjax.constants import get_mode
 from dabjax.iq import pack_iq, unpack_iq
-from dabjax.ofdm import demod, fft, tables
+from dabjax.ofdm import demod, fft
 
 
 def timed(fn, x, iters=20):
@@ -43,7 +43,6 @@ def main():
     x = (rng.standard_normal((F, need)) + 1j * rng.standard_normal((F, need))
          ).astype(np.complex64)
     rows = jax.device_put(jnp.asarray(pack_iq(x)))
-    cb = jnp.asarray(tables.carrier_bins(p.mode, p.T_u, p.K))
 
     def s_unpack(r):
         return jnp.sum(jnp.real(unpack_iq(r)))

@@ -32,7 +32,9 @@ def timed(fn, x, iters=10):
 
 
 def main():
-    from dabjax.fec.viterbi_pallas import viterbi_forward_planes
+    from dabjax.fec import viterbi_pallas
+    if len(sys.argv) > 1:
+        viterbi_pallas.SOFT_FMT = sys.argv[1]
 
     nbits = 24 * 96
     B = 12 * 369
@@ -40,13 +42,25 @@ def main():
     rng = np.random.default_rng(0)
     soft = rng.integers(-127, 128, size=(B, 4 * T)).astype(np.float32)
     soft = jax.device_put(jnp.asarray(soft))
+    decoded = B * nbits
 
-    for chunk in (int(a) for a in sys.argv[1:] or [64]):
-        fn = lambda s, c=chunk: viterbi_forward_planes(s, nbits, chunk=c)
-        t = timed(fn, soft)
-        decoded = B * nbits
-        print(f"chunk {chunk:4d}: {t*1e3:8.3f} ms  "
-              f"{4*decoded/t/1e6:8.1f} coded Mbit/s", flush=True)
+    fn = lambda s: viterbi_pallas.viterbi_forward_words(s, nbits)
+    t = timed(fn, soft)
+    print(f"forward  fmt={viterbi_pallas.SOFT_FMT}: {t*1e3:8.3f} ms  "
+          f"{4*decoded/t/1e6:8.1f} coded Mbit/s", flush=True)
+
+    @jax.jit
+    def full(s):
+        return viterbi_pallas.viterbi_decode_pallas(s, nbits)
+    t = timed(lambda s: full(s), soft)
+    print(f"full     fmt={viterbi_pallas.SOFT_FMT}: {t*1e3:8.3f} ms  "
+          f"{4*decoded/t/1e6:8.1f} coded Mbit/s", flush=True)
+
+    # bit-exact spot check on hardware
+    from dabjax.fec.viterbi import viterbi_decode_np
+    got = np.asarray(full(soft))
+    want = viterbi_decode_np(np.asarray(soft), nbits)
+    print("bit-exact on TPU:", bool(np.array_equal(got, want)), flush=True)
 
 
 if __name__ == "__main__":
