@@ -89,8 +89,10 @@ class Huffman:
 
     def __init__(self, codes, lengths):
         self.table = {}
-        self.min_len = min(lengths)
-        self.max_len = max(lengths)
+        # plain ints: a np.uint8 min_len would wrap the reader position
+        # at 256 via numpy scalar promotion
+        self.min_len = int(min(lengths))
+        self.max_len = int(max(lengths))
         for i, (c, ln) in enumerate(zip(codes, lengths)):
             self.table[(ln, int(c))] = i
 

@@ -737,14 +737,20 @@ class SbrDecoder:
         self.st = [_ChannelState(self.nts) for _ in range(channels)]
         self.ch_data: List[Optional[SbrChannel]] = [None] * channels
         self.coupling = 0
-        self.ps_payload: Optional[bytes] = None
         self.parse_errors = 0
+        # Parametric Stereo (HE-AAC v2): persistent bitstream + synthesis
+        # state; active once a PS header is seen on a 1-channel element.
+        # The reference decodes this via libfaad's implicit-PS path
+        # (faad-decoder.h:78-165); dabjax synthesizes natively (ps.py).
+        from dabjax.audio.ps import PsCommon, PsDecoder
+        self.ps_common = PsCommon()
+        self.ps_dec = PsDecoder(2 * self.nts)
+        self._ps_synth_r: Optional[_QmfSynthesis] = None
 
     # ------------------------------------------------------------ parse
 
     def parse_extension(self, payload: bytes, crc: bool) -> None:
         self.ch_data = [None] * self.channels
-        self.ps_payload = None
         try:
             self._parse(BitReader(payload), crc)
         except (ValueError, EOFError, KeyError):
@@ -860,11 +866,17 @@ class SbrDecoder:
         while bits_left > 7:
             ext_id = br.read(2)
             bits_left -= 2
-            if ext_id == 2:                      # EXTENSION_ID_PS
-                n = bits_left // 8
-                self.ps_payload = bytes(
-                    br.read(8) for _ in range(n))
-                bits_left -= 8 * n
+            if ext_id == 2 and self.channels == 1:  # EXTENSION_ID_PS
+                from dabjax.audio.ps import read_ps_data
+                p0 = br.pos
+                try:
+                    read_ps_data(br, self.ps_common, 2 * self.nts)
+                except (ValueError, EOFError, KeyError):
+                    # PS off until the next header; SBR state untouched
+                    self.ps_common.start = False
+                    self.ps_common.iid_par[:] = 0
+                    self.ps_common.icc_par[:] = 0
+                bits_left -= br.pos - p0
             else:
                 skip = min(bits_left, br.remaining)
                 br.read(skip)
@@ -899,7 +911,21 @@ class SbrDecoder:
                 st.m_old = 0
                 st.kx_old = 32
             st.w_prev = w[-T_HFGEN:].copy()
-            outs.append(st.synthesis.run(x_slots))
+            if self.channels == 1 and self.ps_common.start:
+                # Parametric Stereo: mono QMF -> (L, R) before synthesis.
+                # The 6 look-ahead slots are the low-band lead the HF
+                # chain keeps anyway (libavcodec's X[32..37], sbr_x_gen);
+                # high bands there are unused (hybrid touches bands 0-4).
+                look = np.zeros((6, 64), np.complex128)
+                look[:, :32] = x_low[:, T_HFADJ + 2 * self.nts:].T
+                xl, xr = self.ps_dec.apply(
+                    x_slots, look, self.ps_common, st.kx_old + st.m_old)
+                if self._ps_synth_r is None:
+                    self._ps_synth_r = _QmfSynthesis()
+                outs.append(st.synthesis.run(xl))
+                outs.append(self._ps_synth_r.run(xr))
+            else:
+                outs.append(st.synthesis.run(x_slots))
         self.reset = False
         return np.stack(outs, axis=1)
 

@@ -143,8 +143,12 @@ class SbrWriter:
                 bw.write(int(b), 1)
 
     def sce_payload(self, envs, noises, freq_res=0, invf=None,
-                    add_harmonic=None, send_header=True) -> List[int]:
-        """Full sbr_extension_data bit list for one SCE (no CRC)."""
+                    add_harmonic=None, send_header=True,
+                    ps_bits=None) -> List[int]:
+        """Full sbr_extension_data bit list for one SCE (no CRC).
+
+        ``ps_bits``: optional ps_data bit list (tx/ps_enc.py) carried
+        in the bs_extended_data container as EXTENSION_ID_PS."""
         bw = BitWriter()
         bw.write(1 if send_header else 0, 1)
         if send_header:
@@ -153,7 +157,21 @@ class SbrWriter:
         if invf is None:
             invf = [0] * self.ft.n_q
         self.write_channel(bw, envs, noises, freq_res, invf, add_harmonic)
-        bw.write(0, 1)                               # bs_extended_data
+        if ps_bits is None:
+            bw.write(0, 1)                           # bs_extended_data
+        else:
+            bw.write(1, 1)
+            total = 2 + len(ps_bits)                 # ext_id + ps_data
+            cnt = (total + 7) // 8
+            if cnt < 15:
+                bw.write(cnt, 4)
+            else:
+                bw.write(15, 4)
+                bw.write(cnt - 15, 8)
+            bw.write(2, 2)                           # EXTENSION_ID_PS
+            for b in ps_bits:
+                bw.write(int(b), 1)
+            bw.write(0, 8 * cnt - total)             # fill bits
         return bw._bits
 
     def cpe_payload(self, envs0, noises0, envs1, noises1, freq_res=0,
