@@ -84,6 +84,23 @@ def decode_subchannel(subch_soft: jnp.ndarray, g: SubchGeometry,
     return prbs.disperse(bits)
 
 
+@functools.lru_cache(maxsize=None)
+def _bucket_fn_cached(key: Tuple):
+    """One jitted bucket decoder per shape, shared process-wide: many
+    receivers (channel scan, config-5 multi-channel) with same-shaped
+    subchannels reuse one compiled program instead of recompiling per
+    EnsembleDecoder instance."""
+    length_cus, bitrate, protection, prot_level = key
+    proto = SubchGeometry(-1, 0, length_cus, bitrate, protection,
+                          prot_level)
+
+    @jax.jit
+    def run(stacked):  # [n_subch, T, length*64]
+        return decode_subchannel(stacked, proto)
+
+    return run
+
+
 class EnsembleDecoder:
     """All-services MSC decoder over shape buckets.
 
@@ -106,20 +123,9 @@ class EnsembleDecoder:
         self._buckets: Dict[Tuple, List[SubchGeometry]] = {}
         for g in self.geoms:
             self._buckets.setdefault(g.shape_key, []).append(g)
-        self._jit_cache: Dict[Tuple, object] = {}
 
     def _bucket_fn(self, key: Tuple):
-        if key not in self._jit_cache:
-            length_cus, bitrate, protection, prot_level = key
-            proto = SubchGeometry(-1, 0, length_cus, bitrate, protection,
-                                  prot_level)
-
-            @jax.jit
-            def run(stacked):  # [n_subch, T, length*64]
-                return decode_subchannel(stacked, proto)
-
-            self._jit_cache[key] = run
-        return self._jit_cache[key]
+        return _bucket_fn_cached(key)
 
     def decode(self, cifs: jnp.ndarray) -> Dict[int, np.ndarray]:
         """``cifs``: [T, 55296] consecutive CIF soft bits (T > 15).

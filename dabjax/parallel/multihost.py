@@ -49,19 +49,42 @@ def run_channels(sources: Dict[str, Callable[[], object]],
                  n_blocks: int = 8,
                  coordinator: Optional[str] = None,
                  num_processes: int = 1, process_id: int = 0,
-                 receiver_config=None) -> Dict[str, object]:
+                 receiver_config=None,
+                 concurrent: bool = True) -> Dict[str, object]:
     """Decode this host's share of ``sources`` ({channel: source factory}).
 
     Returns {channel: Metrics} for the locally-owned channels.  Factories
     (not live sources) are passed so only owned channels open hardware.
-    """
+
+    ``concurrent``: decode this host's channels in parallel threads (the
+    one-host BASELINE config-5 shape).  Device dispatches from the
+    channel threads interleave on the local chips while each channel's
+    host-side parsing (FIBs, audio, data) overlaps the others' device
+    work; channels share compiled programs via jax's jit cache when
+    their geometry matches.  ``concurrent=False`` restores serial decode
+    (deterministic ordering for debugging)."""
     from dabjax.runtime.receiver import Receiver
 
     init_distributed(coordinator, num_processes, process_id)
     mine = assign_channels(list(sources), num_processes, process_id)
     out = {}
-    for chan in mine:
+    if not concurrent or len(mine) <= 1:
+        for chan in mine:
+            rx = Receiver(sources[chan](), receiver_config)
+            out[chan] = rx.run(n_blocks)
+            rx.close()
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(chan):
         rx = Receiver(sources[chan](), receiver_config)
-        out[chan] = rx.run(n_blocks)
+        m = rx.run(n_blocks)
         rx.close()
+        return m
+
+    with ThreadPoolExecutor(max_workers=len(mine)) as pool:
+        futs = {chan: pool.submit(one, chan) for chan in mine}
+        for chan, f in futs.items():
+            out[chan] = f.result()
     return out
