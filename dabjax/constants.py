@@ -71,14 +71,20 @@ class DabParams:
 
     @property
     def fic_symbols(self) -> int:
-        """Data symbols carrying the FIC (mode-dependent; Mode I/II/IV: 3)."""
-        # Reference feeds symbols 1..3 to the FIC (ofdm-processor.cpp:421-429).
-        return 3
+        """Data symbols carrying the FIC.
+
+        Modes I/II/IV: 3 symbols (the reference feeds symbols 1..3,
+        ofdm-processor.cpp:421-429).  Mode III: 8 symbols — one 3072-bit
+        codeword of 4 FIBs per 24 ms frame at 384 bits/symbol (EN 300
+        401 §11.2; the reference cannot decode Mode III at all,
+        fic-handler.cpp:131-141)."""
+        return 8 if self.mode == 3 else 3
 
     @property
     def blocks_per_cif(self) -> int:
-        """MSC data symbols per CIF (reference: ``msc-handler.cpp:62-71``)."""
-        return {1: 18, 2: 72, 3: 18, 4: 36}[self.mode]
+        """MSC data symbols per CIF (reference: ``msc-handler.cpp:62-71``;
+        Mode III from the frame geometry: (153-1-8) symbols / 1 CIF)."""
+        return {1: 18, 2: 72, 3: 144, 4: 36}[self.mode]
 
     @property
     def cifs_per_frame(self) -> int:
@@ -90,8 +96,8 @@ class DabParams:
         return self.L - 1 - self.fic_symbols
 
 
-#: Transmission modes I..IV (Mode III is unsupported for FIC like the
-#: reference, but its OFDM geometry is provided).
+#: Transmission modes I..IV (all four decode end to end; the reference
+#: rejects Mode III, fic-handler.cpp:131-141).
 MODES: Dict[int, DabParams] = {
     1: DabParams(mode=1, L=76, K=1536, T_null=2656, T_F=196608,
                  T_s=2552, T_u=2048, T_g=504, carrier_diff=1000),

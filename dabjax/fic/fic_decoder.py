@@ -25,8 +25,21 @@ __all__ = ["fic_codewords_per_frame", "decode_fic"]
 
 def fic_codewords_per_frame(p: DabParams) -> int:
     # Mode I: 3 symbols * 3072 bits = 4 codewords of 2304; Mode IV: 2;
-    # Mode II: 1 (fic-handler.cpp:131-141).
-    return {1: 4, 2: 1, 4: 2}[p.mode]
+    # Mode II: 1 (fic-handler.cpp:131-141).  Mode III: one 3072-bit
+    # codeword of 4 FIBs per frame (EN 300 401 §11.2; beyond the
+    # reference, which rejects Mode III).
+    return {1: 4, 2: 1, 3: 1, 4: 2}[p.mode]
+
+
+def fic_profile(p: DabParams) -> Tuple[list, int, int]:
+    """(depuncture profile blocks, payload bits, FIBs per codeword).
+
+    Modes I/II/IV: 2304-bit codewords of 3 FIBs, 21xPI_16 + 3xPI_15.
+    Mode III: 3072-bit codewords of 4 FIBs, 29xPI_16 + 3xPI_15
+    (EN 300 401 §11.2: (1024+6)*4 = 4120 mother bits -> 2784+276+12)."""
+    if p.mode == 3:
+        return [29, 3], 1024, 4
+    return [21, 3], 768, 3
 
 
 @functools.lru_cache(maxsize=None)
@@ -47,11 +60,12 @@ def decode_fic(fic_soft: jnp.ndarray, p: DabParams
     """
     F = fic_soft.shape[0]
     n_cw = fic_codewords_per_frame(p)
-    cw = fic_soft.reshape(F, n_cw, 2304)
-    full = puncture.depuncture_profile(cw, [21, 3], [16, 15])  # [F,n_cw,3096]
-    bits = viterbi.viterbi_decode(full, 768)           # [F, n_cw, 768]
+    blocks, nbits, fibs_per_cw = fic_profile(p)
+    cw = fic_soft.reshape(F, n_cw, -1)
+    full = puncture.depuncture_profile(cw, blocks, [16, 15])
+    bits = viterbi.viterbi_decode(full, nbits)         # [F, n_cw, nbits]
     bits = prbs.disperse(bits)                         # energy dispersal
-    fibs = bits.reshape(F, n_cw * 3, 256)
+    fibs = bits.reshape(F, n_cw * fibs_per_cw, 256)
     ok = check_crc16_bits(fibs, inverted=True)
     # int32 rather than bool: device->host bool transfers are unimplemented
     # on some experimental TPU runtimes, and int32 costs nothing here

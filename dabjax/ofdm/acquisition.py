@@ -131,7 +131,17 @@ def acquire(x: np.ndarray, p: DabParams, threshold: float = 3.0
     if not float(ok[0]):
         return None
     u0 = base + int(start[0])
-    # the correlation may land on the guard-period copy one T_u early; the
-    # frame pipeline tolerates that (guard is cyclic), but prefer the true
-    # start when another frame is available to verify against.
+    # The circular correlation is blind to whole-T_u shifts: when a noise
+    # bump inside the null symbol fires the rise detector ~T_u early, the
+    # window tail covers the PRS guard and the cyclic alias locks u0 one
+    # T_u before the true useful start.  The discriminator is energy —
+    # an aliased [u0, u0+T_u) window lies mostly inside the null, while
+    # the true window carries full PRS power.  Verify and correct before
+    # committing (the round-2/3 VERDICT acquisition item).
+    while x.shape[-1] >= u0 + 2 * p.T_u:
+        e_here = float(np.mean(np.abs(x[u0: u0 + p.T_u]) ** 2))
+        e_next = float(np.mean(np.abs(x[u0 + p.T_u: u0 + 2 * p.T_u]) ** 2))
+        if e_here >= 0.5 * e_next:
+            break
+        u0 += p.T_u
     return u0

@@ -53,6 +53,17 @@ _PHASE_TABLES = {
         (1, 32, 2, 0), (33, 64, 1, 2), (65, 96, 0, 2), (97, 128, 3, 1),
         (129, 160, 2, 0), (161, 192, 1, 3),
     ],
+    # Mode III (EN 300 401 table 46).  The reference ships no Mode III
+    # phase table (phasetable.cpp covers I/II/IV only) and no ETSI print
+    # is available in this build environment, so these six rows are
+    # recalled spec constants, verified round-trip (tx/modulator
+    # <-> acquisition+demod, tests/test_modes_impairments.py) — an
+    # off-air Mode III capture should confirm them before relying on
+    # acquisition against real transmitters.
+    3: [
+        (-96, -65, 0, 2), (-64, -33, 1, 3), (-32, -1, 2, 0),
+        (1, 32, 3, 2), (33, 64, 2, 2), (65, 96, 1, 3),
+    ],
     4: [
         (-384, -353, 0, 0), (-352, -321, 1, 1), (-320, -289, 2, 1),
         (-288, -257, 3, 2), (-256, -225, 0, 2), (-224, -193, 1, 2),
@@ -80,9 +91,6 @@ def phase_ref_carriers(mode: int, K: int) -> np.ndarray:
 
     Order: k = -K/2, .., -1, +1, .., +K/2.
     """
-    if mode == 3:
-        raise NotImplementedError("Mode III PRS (TFPR) not supported, "
-                                  "matching the reference (fic-handler.cpp)")
     ks = [k for k in range(-K // 2, K // 2 + 1) if k != 0]
     return np.exp(1j * np.array([_phi(mode, k) for k in ks])).astype(
         np.complex64)

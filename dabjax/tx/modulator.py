@@ -59,8 +59,6 @@ class Modulator:
                  payloads: Optional[Dict[int, object]] = None,
                  amplitude: float = 1.0):
         self.p = get_mode(mode)
-        if mode == 3:
-            raise NotImplementedError("Mode III modulation not supported")
         self.ensemble_id = ensemble_id
         self.ensemble_label = ensemble_label
         self.services = list(services)
@@ -136,17 +134,22 @@ class Modulator:
         Mode I: 12 FIBs/frame -> 4 codewords of 3 FIBs each
         (fic-handler.cpp:241-302).
         """
-        n_cw = {1: 4, 2: 1, 4: 2}[self.p.mode]
+        from dabjax.fic.fic_decoder import (fic_codewords_per_frame,
+                                            fic_profile)
+        n_cw = fic_codewords_per_frame(self.p)
+        blocks, _, fibs_per_cw = fic_profile(self.p)
         fibs = figmod.build_fib_schedule(
             self.ensemble_id, self.ensemble_label, self.services,
-            n_fibs=3 * n_cw, cif_count=(frame_index * 4) % 5000)
-        mask = puncture.puncture_mask([21, 3], [16, 15])
-        out = np.empty((n_cw, 2304), np.uint8)
+            n_fibs=fibs_per_cw * n_cw,
+            cif_count=(frame_index * self.p.cifs_per_frame) % 5000)
+        mask = puncture.puncture_mask(blocks, [16, 15])
+        out = np.empty((n_cw, mask.sum()), np.uint8)
         for cw in range(n_cw):
             bits = np.concatenate(
-                [figmod.fib_to_bits(fibs[cw * 3 + k]) for k in range(3)])
+                [figmod.fib_to_bits(fibs[cw * fibs_per_cw + k])
+                 for k in range(fibs_per_cw)])
             bits = prbs.disperse(bits)
-            coded = conv.encode(bits)        # 4*(768+6) = 3096
+            coded = conv.encode(bits)        # 4*(nbits+6)
             out[cw] = puncture.puncture(coded, mask)
         return out
 

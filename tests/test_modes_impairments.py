@@ -1,4 +1,4 @@
-"""Mode II/IV receivers + channel impairments (CFO, noise, timing offset)
+"""Mode II/III/IV receivers + channel impairments (CFO, noise, timing offset)
 through the full Receiver — the sync-robustness behaviors of
 ofdm-processor.cpp's state machine, exercised block-batched."""
 
@@ -25,7 +25,7 @@ def _rx(mode, n_blocks=3, **iq_kw):
     return r
 
 
-@pytest.mark.parametrize("mode", [1, 2, 4])
+@pytest.mark.parametrize("mode", [1, 2, 3, 4])
 def test_modes_fic_clean(mode):
     r = _rx(mode, snr_db=30.0, lead_in=2500)
     assert r.metrics.synced
@@ -138,3 +138,36 @@ def test_sync_loss_recovery():
     assert m.synced, "receiver must re-sync after the gap"
     # FIBs decode again after the re-acquisition
     assert m.fic_crc_ok > 12
+
+
+def test_acquire_rejects_guard_copy_alias():
+    """A noise burst inside the null symbol can fire the rise detector
+    ~T_u early; the circular PRS correlation then locks onto the cyclic
+    guard alias one T_u before the true useful start.  acquire() must
+    detect the aliased window's null-level energy and correct (the
+    round-2/3 VERDICT acquisition item; the fix the old comment in
+    ofdm/acquisition.py described but did not implement)."""
+    from dabjax.constants import get_mode
+    from dabjax.ofdm import acquisition
+
+    p = get_mode(1)
+    services = [ServiceSpec(label="MODETEST", **SVC)]
+    mod = Modulator(mode=1, services=services)
+    rng = np.random.default_rng(7)
+    lead = 2500
+    iq = np.concatenate([np.zeros(lead, np.complex64),
+                         mod.iq(3).astype(np.complex64)])
+    sig_p = float(np.mean(np.abs(iq[lead + p.T_null:]) ** 2))
+    noise = (rng.standard_normal(iq.shape[0])
+             + 1j * rng.standard_normal(iq.shape[0])).astype(np.complex64)
+    iq = iq + np.sqrt(sig_p / 200).astype(np.float32) * noise  # ~23 dB SNR
+    true_u0 = lead + p.T_null + p.T_g
+    # burst inside the null, placed so the rise detector fires one T_u
+    # before the true useful start (the alias-prone window position)
+    burst_at = true_u0 - p.T_u - 20
+    iq[burst_at: burst_at + 60] += np.sqrt(sig_p) * (
+        rng.standard_normal(60) + 1j * rng.standard_normal(60)
+    ).astype(np.complex64)
+    u0 = acquisition.acquire(iq, p)
+    assert u0 is not None
+    assert abs(u0 - true_u0) <= p.T_g, (u0, true_u0)

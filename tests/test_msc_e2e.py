@@ -119,3 +119,29 @@ def test_single_service_matches_reference_semantics(decoded):
     mod, out = decoded
     bravo = out[7]
     assert bravo.shape[1] == 24 * 96
+
+
+def test_mode3_msc_bit_exact():
+    """Mode III end to end: TFPR acquisition, 8-symbol FIC geometry and
+    MSC payload decode at the 192-carrier mode.  The reference rejects
+    Mode III outright (fic-handler.cpp:131-141) — this exceeds it; the
+    recalled Table 46 PRS rows are round-trip-verified here."""
+    p = get_mode(3)
+    svc = [ServiceSpec(label="MODE3", sid=0x3301, subch_id=7, start_addr=0,
+                       bitrate=64, protection="EEP-A", prot_level=2,
+                       kind="DAB")]
+    n_frames = 18                       # mode III: 1 CIF/frame
+    mod = Modulator(mode=3, services=svc)
+    iq = mod.iq(n_frames, snr_db=25.0, sample_offset=80, seed=33)
+    u0 = acquisition.acquire(iq, p)
+    assert u0 is not None
+    need = demod.min_frame_samples(p)
+    rows = np.stack([iq[u0 + f * p.T_F: u0 + f * p.T_F + need]
+                     for f in range(n_frames)])
+    soft, _ = demod.demodulate_frames(jnp.asarray(rows), p)
+    cifs = cifs_from_soft(soft, p)
+    geom = SubchGeometry(7, 0, svc[0].length_cus, 64, "EEP-A", 2)
+    out = EnsembleDecoder([geom], p).decode(cifs)[7]
+    assert out.shape == (n_frames - HISTORY, 24 * 64)
+    for t in range(out.shape[0]):
+        np.testing.assert_array_equal(out[t], mod.payload_bits(7, t))
