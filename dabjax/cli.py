@@ -110,13 +110,36 @@ def _print_db(r, file=None) -> None:
         print(f"    region {rid:02X}: {lbl.strip()!r}", file=file)
 
 
+def _print_scopes(r, file=None) -> None:
+    from dabjax.runtime.scopes import render_constellation, render_spectrum
+    print("spectrum (PRS mean, dB):", file=file)
+    print(render_spectrum(r.metrics.spectrum), file=file)
+    print("constellation (first data symbol):", file=file)
+    print(render_constellation(r.metrics.constellation), file=file)
+
+
 def cmd_info(args) -> int:
     r = _build_receiver(args)
+    if getattr(args, "watch", 0):
+        # live dashboard: re-run block batches and redraw (the
+        # scope/waterfall loop of the reference GUI, scope.cpp)
+        for i in range(args.watch):
+            r.run(1)
+            print(f"\x1b[2J\x1b[H[block {i + 1}/{args.watch}]")
+            if r.metrics.synced:
+                _print_db(r)
+                if args.scope:
+                    _print_scopes(r)
+            else:
+                print("searching for DAB signal ...")
+        return 0 if r.metrics.synced else 1
     r.run(args.blocks)
     if not r.metrics.synced:
         print("no DAB signal found")
         return 1
     _print_db(r)
+    if getattr(args, "scope", False):
+        _print_scopes(r)
     return 0
 
 
@@ -247,6 +270,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="list ensemble services")
     p.add_argument("source")
     p.add_argument("--blocks", type=int, default=4)
+    p.add_argument("--scope", action="store_true",
+                   help="render spectrum + constellation scopes (text)")
+    p.add_argument("--watch", type=int, default=0, metavar="N",
+                   help="live view: redraw after each of N blocks")
     p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("decode", help="decode service(s) to audio/files")

@@ -67,13 +67,18 @@ UEP_PROFILES: Dict[Tuple[int, int], Tuple[int, ...]] = {
     (48, 2): (3, 4, 26, 3, 24, 14, 8, 15),
     (48, 1): (3, 5, 25, 3, 24, 18, 13, 18),
     # 56 kbit/s (levels 2..5; level 1 is not defined in EN 300 401): the
-    # reference cannot decode these at all (deconvolve.cpp profileTable has
-    # no 56 entry).  PROVISIONAL: no authoritative copy of table 33 is
-    # available in this build environment; the L/PI splits below satisfy
-    # every structural constraint of the table (sum(L) = bitrate*3/4 = 42,
-    # coded bits == subch CUs*64 with pads 0/0/0/8, monotone PI ordering)
-    # and roundtrip closed-loop, but MUST be checked against the ETSI print
-    # before relying on them for off-air 56 kbit/s services.
+    # reference cannot DECODE these at all (deconvolve.cpp profileTable
+    # has no 56 entry), but its copy of the Table 7 sub-channel index
+    # (fib-processor.cpp:32-96, rows {29,5,56} {35,4,56} {42,3,56}
+    # {52,2,56}) authoritatively fixes the CU sizes and the absence of
+    # level 1 — both matched here.  The L/PI splits satisfy every
+    # constraint Table 33 fixes (42 mother-bit blocks, punctured totals
+    # = CU*64 with pads 0/0/0/8, the table's UEP ordering pattern; see
+    # tests/test_fec.py::test_uep_table_structural_invariants, which
+    # checks them independently of the modulator) and decode closed-loop
+    # at every level.  No ETSI print of Table 33 itself is available in
+    # this environment to confirm the splits digit-for-digit; an off-air
+    # 56 kbit/s capture remains the final check.
     (56, 5): (6, 10, 23, 3, 5, 4, 2, 3),
     (56, 4): (6, 10, 23, 3, 9, 6, 4, 5),
     (56, 3): (6, 12, 21, 3, 16, 7, 6, 9),

@@ -218,3 +218,33 @@ def test_cli_decode_pcm_to_stdout(raw_file, capsysbinary):
     assert rc == 0
     assert len(captured.out) > 40000          # PCM bytes present
     assert len(captured.out) % 4 == 0         # whole stereo int16 frames
+
+
+def test_info_scope_rendering(raw_file, capsys):
+    """--scope renders the spectrum + constellation taps as text (the
+    scopes-qwt6/scope.cpp + iqdisplay.cpp surface, headless)."""
+    from dabjax.cli import main
+    rc = main(["info", raw_file, "--blocks", "2", "--scope"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "spectrum" in out and "constellation" in out
+    assert "█" in out or "▇" in out or "▁" in out   # spectrum bars
+    assert any(c in out for c in ".:*#@")           # scatter points
+
+
+def test_scope_renderers_standalone():
+    import numpy as np
+    from dabjax.runtime.scopes import (render_constellation,
+                                       render_spectrum)
+    spec = np.abs(np.fft.fftshift(np.fft.fft(np.random.default_rng(0)
+                                             .standard_normal(2048))))
+    s = render_spectrum(spec)
+    assert len(s.splitlines()) == 10
+    pts = np.exp(1j * (np.pi / 4 + np.pi / 2
+                       * np.random.default_rng(1).integers(0, 4, 400)))
+    pts = pts + 0.05 * (np.random.default_rng(2).standard_normal(400)
+                        + 1j * np.random.default_rng(3)
+                        .standard_normal(400))
+    c = render_constellation(pts)
+    assert "@" in c or "#" in c
+    assert "re" in c and "im" in c

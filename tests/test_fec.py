@@ -198,3 +198,34 @@ def test_viterbi_jax_matches_np_batched():
     dec_jx = np.asarray(viterbi.viterbi_decode_jax(jnp.asarray(soft), nbits))
     np.testing.assert_array_equal(dec_np, dec_jx)
     np.testing.assert_array_equal(dec_np, bits)
+
+
+def test_uep_table_structural_invariants():
+    """Every UEP profile checked against the constraints EN 300 401
+    fixes INDEPENDENTLY of table 33 (so a wrong-but-self-consistent
+    entry cannot hide behind the modulator roundtrip):
+
+    * sum(L) covers the mother codeword exactly: 4*(24*br + 6) bits =
+      128*sum(L) + 24 tail bits  ->  sum(L) = 0.75*br;
+    * the punctured size fits the authoritative sub-channel size from
+      table 7 (reference fib-processor.cpp:32-95, PROT_LEVEL_TABLE)
+      with padding in [0, 63];
+    * protection falls with block index over the audio payload
+      (PI1 >= PI2 >= PI3, the UEP property), with the short tail group
+      allowed its table-wide uptick (PI4 pattern).
+    """
+    from dabjax.fec.puncture import UEP_PROFILES, PI_X
+    from dabjax.fic.fib import PROT_LEVEL_TABLE
+
+    sizes = {(br, lvl): cus for cus, lvl, br in PROT_LEVEL_TABLE}
+    for (br, lvl), (l1, l2, l3, l4, p1, p2, p3, p4) in UEP_PROFILES.items():
+        ls, pis = (l1, l2, l3, l4), (p1, p2, p3, p4)
+        assert sum(ls) * 128 + 24 == 4 * (24 * br + 6), (br, lvl)
+        assert (br, lvl) in sizes, f"{br}/{lvl} not in table 7"
+        out = sum(l * 4 * (8 + pi) for l, pi in zip(ls, pis)) \
+            + int(PI_X.sum())
+        pad = sizes[(br, lvl)] * 64 - out
+        assert 0 <= pad < 64, (br, lvl, pad)
+        assert p1 >= p2 >= p3 > 0, (br, lvl)
+        if l4 == 0:
+            assert p4 == 0, (br, lvl)
