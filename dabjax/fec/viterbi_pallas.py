@@ -92,30 +92,40 @@ def _forward_kernel(T2, soft_fmt):
     def kernel(soft_ref, s_ref, dec_ref, pm_ref):
         # grid (lane_blocks, words), words fastest.  soft_ref [C*8, LB]
         # int8 (or [C, 8, LB] f32): the 8 soft values of each of the C
-        # pair steps; s_ref [256, 8] f32; dec_ref [1, 64, LB] int32 out
-        # (16 packed 2-bit branch decisions); pm_ref [64, LB] f32 scratch
-        # (path metrics, exact integers), persisted across the words of
-        # one lane block.
+        # pair steps; s_ref [256, 8] f32/int8; dec_ref [1, 64, LB] int32
+        # out (16 packed 2-bit branch decisions); pm_ref [64, LB] f32 or
+        # int32 scratch (path metrics, exact integers), persisted across
+        # the words of one lane block.
         B = pm_ref.shape[1]
 
         @pl.when(pl.program_id(1) == 0)
         def _():
             state_ids = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
-            pm_ref[:] = jnp.where(state_ids == 0, 0.0, -1e9)
+            if soft_fmt == "i8mxu":
+                pm_ref[:] = jnp.where(state_ids == 0, 0, -(1 << 29))
+            else:
+                pm_ref[:] = jnp.where(state_ids == 0, 0.0, -1e9)
 
-        base = pl.program_id(1) * C
         acc = jnp.zeros((64, B), jnp.int32)
 
         for j in range(C):                     # unrolled: static indices
-            if soft_fmt == "i8":
-                x = soft_ref[8 * j: 8 * j + 8, :].astype(jnp.float32)
+            if soft_fmt == "i8mxu":
+                # int8 x int8 -> int32 MXU pass (2x the bf16 rate on
+                # v5e); the whole ACS then runs in exact int32.
+                x = soft_ref[8 * j: 8 * j + 8, :]
+                bm = jax.lax.dot_general(
+                    s_ref[:], x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)             # [256, B]
             else:
-                x = soft_ref[j]
-            # Branch metrics on the MXU.  Integer soft values are exact
-            # through the single default-precision bf16 pass.
-            bm = jax.lax.dot_general(
-                s_ref[:], x, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)               # [256, B]
+                if soft_fmt == "i8":
+                    x = soft_ref[8 * j: 8 * j + 8, :].astype(jnp.float32)
+                else:
+                    x = soft_ref[j]
+                # Integer soft values are exact through the single
+                # default-precision bf16 pass.
+                bm = jax.lax.dot_general(
+                    s_ref[:], x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)           # [256, B]
             # predecessor row identity: with rows ordered e*64+n, the
             # predecessor p = (n>>2)|(e<<4) satisfies 4p + (n&3) == 64e+n,
             # so the whole [256, B] predecessor tile is pm element-repeated
@@ -123,6 +133,9 @@ def _forward_kernel(T2, soft_fmt):
             m = jnp.repeat(pm_ref[:], 4, axis=0) + bm
             # radix-2-equivalent selection: inner max over d0 per d1,
             # then d1 over the maxima; all strict > so ties pick 0.
+            # Padded steps (soft = 0) tie everywhere and thus emit e = 0
+            # without an explicit mask; traceback's state walk is a
+            # no-op through them, and they are last, never re-read.
             m00, m01 = m[0:64, :], m[64:128, :]       # e=0 (d0=0,d1=0), e=1
             m10, m11 = m[128:192, :], m[192:256, :]   # e=2 (d0=1,d1=0), e=3
             a = jnp.maximum(m00, m10)                 # best with d1=0
@@ -130,13 +143,9 @@ def _forward_kernel(T2, soft_fmt):
             b = jnp.maximum(m01, m11)                 # select between i1s
             db = (m11 > m01).astype(jnp.int32)
             d1 = b > a
-            # packed pads are masked to e=0 below, so traceback's state
-            # walk is a no-op through them; pm may evolve freely past T2 —
-            # padded steps are last, never re-read
             pm_ref[:] = jnp.where(d1, b, a)
             d0 = jnp.where(d1, db, da)
             e = (d0 << 1) | d1.astype(jnp.int32)
-            e = jnp.where(base + j < T2, e, 0)
             acc = acc | (e << (2 * j))
         dec_ref[0] = acc
 
@@ -191,7 +200,7 @@ def _plan(B: int, T2: int, soft_fmt: str):
     f32 (256 B/lane) -> ~1 KB/lane (f32) or ~0.9 KB/lane (i8); the LB
     caps keep that under ~10 MB of the 16 MB scoped VMEM.
     """
-    cap = 8192 if soft_fmt == "i8" else 5120
+    cap = 5120 if soft_fmt == "f32" else 8192
     LB = min(_round_up(max(B, 1), _LANES), cap)
     Bp = _round_up(max(B, 1), LB)
     n_lb = Bp // LB
@@ -200,10 +209,12 @@ def _plan(B: int, T2: int, soft_fmt: str):
     return LB, Bp, n_lb, Tp2, W
 
 
-# soft-input format for the forward kernel: "i8" streams packed int8 soft
-# values (4x less HBM traffic), "f32" streams float planes.  Both are
-# exact for integer-valued soft bits; "i8" wins on the axon runtime.
-SOFT_FMT = "i8"
+# soft-input format for the forward kernel: "i8mxu" streams packed int8
+# soft values AND runs the branch-metric dot as an int8 x int8 -> int32
+# MXU pass with the ACS in int32; "i8" streams int8 but computes in
+# f32/bf16; "f32" streams float planes.  All three are exact for
+# integer-valued soft bits.
+SOFT_FMT = "i8mxu"
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
@@ -228,30 +239,32 @@ def viterbi_forward_words(soft, nbits: int, interpret: bool = False):
     LB, Bp, n_lb, Tp2, W = _plan(B, T2, SOFT_FMT)
 
     s = soft.reshape(B, T, 4)
-    if SOFT_FMT == "i8":
+    if SOFT_FMT == "f32":
+        s = s.astype(jnp.float32)
+    else:
         # clip is the identity for in-contract inputs (demod emits
         # |soft| <= 127); out-of-range values saturate instead of
         # wrapping in the int8 cast
         s = jnp.clip(s, -127, 127).astype(jnp.int8)
-    else:
-        s = s.astype(jnp.float32)
     s = jnp.pad(s, ((0, 0), (0, 2 * Tp2 - T), (0, 0)))
     s = jnp.moveaxis(s.reshape(B, Tp2, 8), 0, -1)  # [Tp2, 8, B]
     s = jnp.pad(s, ((0, 0), (0, 0), (0, Bp - B)))
 
     _, S4 = _radix4_matrices()
-    S4 = jnp.asarray(S4)                             # [256, 8]
+    S4 = jnp.asarray(S4.astype(np.int8) if SOFT_FMT == "i8mxu"
+                     else S4)                        # [256, 8]
 
-    if SOFT_FMT == "i8":
+    if SOFT_FMT == "f32":
+        soft_spec = pl.BlockSpec((_PAIRS_PER_WORD, 8, LB),
+                                 lambda l, i: (i, 0, l),
+                                 memory_space=pltpu.VMEM)
+    else:
         s = s.reshape(Tp2 * 8, Bp)
         soft_spec = pl.BlockSpec((_PAIRS_PER_WORD * 8, LB),
                                  lambda l, i: (i, l),
                                  memory_space=pltpu.VMEM)
-    else:
-        soft_spec = pl.BlockSpec((_PAIRS_PER_WORD, 8, LB),
-                                 lambda l, i: (i, 0, l),
-                                 memory_space=pltpu.VMEM)
 
+    pm_dtype = jnp.int32 if SOFT_FMT == "i8mxu" else jnp.float32
     return pl.pallas_call(
         _forward_kernel(T2, SOFT_FMT),
         grid=(n_lb, W),
@@ -263,7 +276,7 @@ def viterbi_forward_words(soft, nbits: int, interpret: bool = False):
         out_specs=pl.BlockSpec((1, 64, LB), lambda l, i: (i, 0, l),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((W, 64, Bp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((64, LB), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((64, LB), pm_dtype)],
         interpret=interpret,
     )(s, S4)
 

@@ -57,15 +57,19 @@ def demodulate_frames(samples: jnp.ndarray, p: DabParams
     wins = jnp.stack([samples[:, l * p.T_s: l * p.T_s + p.T_u]
                       for l in range(p.L)], axis=1)       # [F, L, T_u]
     spec = fft.mxu_fft(wins)                     # MXU two-stage DFT
-    # DQPSK over the full spectrum, then gather the interleaved carriers as
-    # float soft bits: complex gathers along the minor axis are unimplemented
-    # on the experimental axon TPU backend, float gathers are fine, and the
-    # per-bin DQPSK is elementwise so the reordering is exact.
-    r1 = spec[:, 1:, :] * jnp.conj(spec[:, :-1, :])   # [F, L-1, T_u]
-    inv = jax.lax.rsqrt(jnp.real(r1) ** 2 + jnp.imag(r1) ** 2 + 1e-38)
-    soft_re = (-jnp.real(r1) * inv * 127.0)[:, :, cb]  # [F, L-1, K]
-    soft_im = (-jnp.imag(r1) * inv * 127.0)[:, :, cb]
-    soft = jnp.concatenate([soft_re, soft_im], axis=-1)
+    # frequency de-interleave FIRST, as float (re, im) plane gathers
+    # (complex gathers along the minor axis are unimplemented on the
+    # experimental axon TPU backend), then DQPSK on the K active
+    # carriers only — T_u/K ~ 25% less elementwise work than
+    # demodulating the full spectrum before gathering.
+    sre = jnp.real(spec)[:, :, cb]               # [F, L, K]
+    sim = jnp.imag(spec)[:, :, cb]
+    # r1 = F_l * conj(F_{l-1}) per active carrier
+    r1re = sre[:, 1:] * sre[:, :-1] + sim[:, 1:] * sim[:, :-1]
+    r1im = sim[:, 1:] * sre[:, :-1] - sre[:, 1:] * sim[:, :-1]
+    inv = jax.lax.rsqrt(r1re * r1re + r1im * r1im + 1e-38)
+    soft = jnp.concatenate([-r1re * inv * 127.0,
+                            -r1im * inv * 127.0], axis=-1)
     # integer soft bits (the reference's int16-clamped-to-+-127 convention,
     # ofdm-decoder.cpp:188-189): downstream stages preserve integrality
     # (de-interleave permutes, depuncture inserts zeros), which lets the

@@ -499,10 +499,14 @@ def _build_block_fn_for(p, mesh):
 
     def block(rows, coarse_hz):
         rows = unpack_iq(rows)
-        rows = demod.apply_cfo(rows, jnp.broadcast_to(
-            coarse_hz, rows.shape[:1]))
+        # fine CFO is measured on the uncorrected rows: the coarse part
+        # is an integer number of carrier spacings, which contributes an
+        # exact multiple of 2*pi to the guard-correlation angle and so
+        # cancels from the estimate — one fused rotation replaces the
+        # two full passes over the block.
         fine = demod.fine_cfo_estimate(rows, p)
-        rows = demod.apply_cfo(rows, fine)
+        rows = demod.apply_cfo(
+            rows, fine + jnp.broadcast_to(coarse_hz, rows.shape[:1]))
         soft, spec0 = demod.demodulate_frames(rows, p)
         snr = demod.snr_estimate(spec0, p)
         coarse = demod.coarse_cfo_estimate(spec0, p)
