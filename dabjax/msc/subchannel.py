@@ -147,6 +147,10 @@ class EnsembleDecoder:
                 slices = jax.device_put(slices, NamedSharding(
                     self.mesh, P(tuple(self.mesh.axis_names), None, None)))
             bits = self._bucket_fn(key)(slices)
-            for g, b in zip(geoms, bits):   # zip trims the pad rows
-                out[g.subch_id] = np.asarray(b)
+            # ONE device->host transfer per bucket, not one per
+            # subchannel: the tunnel runtime charges 30-120 ms latency
+            # per pull, which would dominate the product receiver
+            bits_np = np.asarray(bits)
+            for i, g in enumerate(geoms):   # enumerate trims pad rows
+                out[g.subch_id] = bits_np[i]
         return out

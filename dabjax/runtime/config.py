@@ -20,6 +20,10 @@ class ReceiverConfig:
     service: Optional[str] = None    # decode one service; None = all
     decode_audio: bool = True        # run MP2/AAC handlers on decoded bytes
     decode_data: bool = True         # run PAD/MOT/packet handlers
+    # decode each service's audio on its own worker thread, overlapping
+    # the next block's device work (the reference's audio-thread
+    # topology); Receiver.run()/close() drain before returning
+    async_audio: bool = True
     scan_attempts: int = 5           # no-signal attempts before giving up
     resync_after_bad_blocks: int = 2  # all-FIBs-bad blocks before notSynced
     dump_iq_path: Optional[str] = None     # raw-IQ tap (ofdm-processor dump)

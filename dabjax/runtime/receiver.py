@@ -164,6 +164,8 @@ class Receiver:
         self.data_handler_factory = (data_handler_factory
                                      or default_data_handler_factory)
         self.data_handlers: Dict[int, object] = {}
+        self._audio_pools: Dict[int, object] = {}
+        self._audio_futs: List[object] = []
         self._buf = np.zeros(0, np.complex64)
         self._buf_base = 0          # absolute index of _buf[0]
         self._u0: Optional[float] = None  # absolute PRS-useful-start index
@@ -193,6 +195,8 @@ class Receiver:
         self.db = EnsembleDB()
         self.metrics = Metrics()
         self.audio = {}
+        self._drain_audio()
+        self._audio_pools = {}
         self.data_handlers = {}
         self._buf = np.zeros(0, np.complex64)
         self._buf_base = 0
@@ -303,15 +307,33 @@ class Receiver:
             self._iq_dump.write(self._buf[base[0]: base[0] + F * p.T_F])
 
         with self.profiler.stage("device_block", items=F * p.T_F):
-            (cifs, constel, snr, fine, coarse, fibs, fic_ok, t_off, t_ok,
-             spectrum) = self._block_fn(
+            cifs, packed = self._block_fn(
                 jnp.asarray(pack_iq(rows)), jnp.float32(self._coarse_hz))
-        fic_ok = np.asarray(fic_ok)
-        fibs_np = np.asarray(fibs)
+            packed = np.asarray(packed)      # the ONE host pull per block
+        # unpack by static offsets (see _build_block_fn_for's layout)
+        from dabjax.fic.fic_decoder import fic_codewords_per_frame, \
+            fic_profile
+        n_fib = fic_codewords_per_frame(p) * fic_profile(p)[2]
+        pos = 0
+
+        def take(n, shape=None):
+            nonlocal pos
+            v = packed[pos: pos + n]
+            pos += n
+            return v if shape is None else v.reshape(shape)
+
+        snr = take(F)
+        fine = take(F)
+        coarse = take(F)
+        t_off = take(F)
+        t_ok = take(F)
+        fic_ok = take(F * n_fib, (F, n_fib))
+        fibs_np = take(F * n_fib * 256, (F, n_fib, 256)).astype(np.int32)
+        spectrum = take(p.T_u)
+        constel = take(2 * p.K)
         # scope taps (SURVEY.md §2.4: spectrum waterfall + IQ display)
-        self.metrics.spectrum = np.asarray(spectrum)
+        self.metrics.spectrum = spectrum
         k = self.p.K
-        constel = np.asarray(constel)
         self.metrics.constellation = (
             -constel[:k] - 1j * constel[k:]) / 127.0
 
@@ -457,9 +479,30 @@ class Receiver:
                 return d
         return None
 
+    def _submit_audio(self, svc: AudioService, bits: np.ndarray):
+        """Feed one logical frame to a service — on its worker thread
+        when async_audio is set (per-service single-thread executors keep
+        frame order; host audio decode then overlaps the next block's
+        device work, the reference's audio-thread topology), inline
+        otherwise."""
+        if not self.cfg.async_audio:
+            svc.add_logical_frame(bits)
+            return
+        pool = self._audio_pools.get(svc.subch_id)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=1)
+            self._audio_pools[svc.subch_id] = pool
+        self._audio_futs.append(pool.submit(svc.add_logical_frame, bits))
+
+    def _drain_audio(self):
+        for f in self._audio_futs:
+            f.result()                   # surfaces worker exceptions too
+        self._audio_futs.clear()
+
     def _route(self, subch_id: int, bits: np.ndarray):
         if subch_id in self.audio:
-            self.audio[subch_id].add_logical_frame(bits)
+            self._submit_audio(self.audio[subch_id], bits)
             return
         if subch_id in self.data_handlers:
             self.data_handlers[subch_id].add_logical_frame(bits)
@@ -470,7 +513,7 @@ class Receiver:
                 subch_id, meta.bitrate, meta.is_dab_plus, self.metrics,
                 es_dump_path=self.cfg.dump_es_path,
                 pcm_dump_path=self.cfg.dump_audio_path)
-            self.audio[subch_id].add_logical_frame(bits)
+            self._submit_audio(self.audio[subch_id], bits)
             return
         if self.cfg.decode_data and self.data_handler_factory is not None:
             h = self.data_handler_factory(self.db, subch_id)
@@ -484,9 +527,14 @@ class Receiver:
         for _ in range(n_blocks):
             if not self.step():
                 break
+        self._drain_audio()              # metrics/pcm settled on return
         return self.metrics
 
     def close(self) -> None:
+        self._drain_audio()
+        for pool in self._audio_pools.values():
+            pool.shutdown(wait=True)
+        self._audio_pools = {}
         if self._iq_dump is not None:
             self._iq_dump.close()
             self._iq_dump = None
@@ -526,8 +574,22 @@ def _build_block_fn_for(p, mesh):
         # FIC constellation tap leaves the device.
         cifs = cifs_from_soft(soft, p)
         constel = soft[0, p.fic_symbols, :]   # first data symbol
-        return (cifs, constel, snr, fine, coarse, fibs, fic_ok,
-                t_off, t_ok, spectrum)
+        # pack every host-bound tap into ONE f32 vector: the tunnel
+        # runtime charges 30-120 ms of latency per device->host pull,
+        # so ten separate np.asarray calls would dominate the whole
+        # receiver step (all values are small integers or f32 — exact)
+        packed = jnp.concatenate([
+            snr.astype(jnp.float32).ravel(),
+            fine.astype(jnp.float32).ravel(),
+            coarse.astype(jnp.float32).ravel(),
+            t_off.astype(jnp.float32).ravel(),
+            t_ok.astype(jnp.float32).ravel(),
+            fic_ok.astype(jnp.float32).ravel(),
+            fibs.astype(jnp.float32).ravel(),
+            spectrum.astype(jnp.float32).ravel(),
+            constel.astype(jnp.float32).ravel(),
+        ])
+        return cifs, packed
 
     if mesh is not None:
         # product SPMD path: frames over every mesh device; the whole
