@@ -559,14 +559,23 @@ class _QmfAnalysis:
         self.x = np.zeros(320)
 
     def run(self, samples: np.ndarray) -> np.ndarray:
-        """[S*32] time samples -> [S, 32] complex subband slots."""
+        """[S*32] time samples -> [S, 32] complex subband slots.
+
+        Vectorized over slots (one [S, 64] @ mod.T matmul instead of a
+        per-slot Python loop): the per-slot window buffer holds blocks
+        s, s-1, .., s-9, each internally reversed — built here as
+        sliding views over the block-reversed stream + 9 blocks of
+        history, with the same per-tap products and summation order."""
         s_cnt = samples.shape[0] // 32
-        out = np.empty((s_cnt, 32), np.complex128)
-        for s in range(s_cnt):
-            self.x[32:] = self.x[:-32]
-            self.x[:32] = samples[s * 32:(s + 1) * 32][::-1]
-            u = (self.x * self.win).reshape(5, 64).sum(axis=0)
-            out[s] = self.mod @ u
+        rev = samples.reshape(s_cnt, 32)[:, ::-1]       # [S, 32] reversed
+        hist = self.x.reshape(10, 32)[:9]               # blocks s-1..s-9
+        blocks = np.concatenate([hist[::-1], rev])      # time order
+        idx = (len(hist) + np.arange(s_cnt)[:, None]
+               - np.arange(10)[None, :])                # newest first
+        xs = blocks[idx].reshape(s_cnt, 320)            # [S, 320]
+        u = (xs * self.win).reshape(s_cnt, 5, 64).sum(axis=1)
+        out = u @ self.mod.T                            # [S, 32]
+        self.x = xs[-1] if s_cnt else self.x
         return out
 
 
@@ -584,20 +593,29 @@ class _QmfSynthesis:
         self.v = np.zeros(1280)
 
     def run(self, x_slots: np.ndarray) -> np.ndarray:
-        """[S, 64] complex subband slots -> [S*64] time samples."""
+        """[S, 64] complex subband slots -> [S*64] time samples.
+
+        Vectorized over slots: one [S, 64] @ mod matmul for the
+        modulation, then the 10 window taps accumulated over sliding
+        views of the modulated history (v[256j .. ] of the old per-slot
+        ring buffer is row s-2j / s-2j-1 here), same product and
+        accumulation order as the per-slot loop."""
         s_cnt = x_slots.shape[0]
-        out = np.empty(s_cnt * 64)
-        for s in range(s_cnt):
-            self.v[128:] = self.v[:-128]
-            self.v[:128] = (x_slots[s] @ self.mod).real / -64.0
-            acc = np.zeros(64)
-            for j in range(5):
-                acc += (self.v[256 * j: 256 * j + 64]
-                        * self.win[128 * j: 128 * j + 64])
-                acc += (self.v[256 * j + 192: 256 * j + 256]
-                        * self.win[128 * j + 64: 128 * j + 128])
-            out[s * 64:(s + 1) * 64] = acc
-        return out
+        if not s_cnt:
+            return np.empty(0)
+        g = (x_slots @ self.mod).real / -64.0           # [S, 128]
+        ghist = self.v.reshape(10, 128)                 # rows s-1..s-10
+        gall = np.concatenate([ghist[::-1], g])         # time order
+        base = ghist.shape[0] + np.arange(s_cnt)
+        acc = np.zeros((s_cnt, 64))
+        for j in range(5):
+            acc += gall[base - 2 * j, :64] * self.win[128 * j:
+                                                      128 * j + 64]
+            acc += (gall[base - 2 * j - 1, 64:]
+                    * self.win[128 * j + 64: 128 * j + 128])
+        # ring-buffer state: v[128k : 128k+128] = g of slot s-k
+        self.v = gall[base[-1] - np.arange(10)].reshape(1280)
+        return acc.reshape(s_cnt * 64)
 
 
 # --------------------------------------------------------- HF generation
