@@ -650,6 +650,28 @@ def _lpc_alphas(x: np.ndarray) -> Tuple[complex, complex]:
     return complex(a0), complex(a1)
 
 
+def _lpc_alphas_batch(X: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`_lpc_alphas` over band rows: [P, S] -> (a0, a1)
+    complex [P], same covariance window and stability guards."""
+    w = X[:, 2:]
+    w1 = X[:, 1:-1]
+    w2 = X[:, :-2]
+    phi01 = np.einsum("ps,ps->p", np.conj(w1), w)
+    phi02 = np.einsum("ps,ps->p", np.conj(w2), w)
+    phi11 = np.einsum("ps,ps->p", np.conj(w1), w1).real
+    phi12 = np.einsum("ps,ps->p", np.conj(w2), w1)
+    phi22 = np.einsum("ps,ps->p", np.conj(w2), w2).real
+    d = phi22 * phi11 - (phi12 * np.conj(phi12)).real / 1.000001
+    a1 = np.where(d != 0.0,
+                  (phi01 * phi12 - phi02 * phi11) / np.where(d != 0.0, d, 1.0),
+                  0.0)
+    a0 = np.where(phi11 != 0.0,
+                  -(phi01 + a1 * np.conj(phi12))
+                  / np.where(phi11 != 0.0, phi11, 1.0), 0.0)
+    bad = (np.abs(a0) >= 4.0) | (np.abs(a1) >= 4.0)
+    return np.where(bad, 0.0, a0), np.where(bad, 0.0, a1)
+
+
 def _chirp(invf: np.ndarray, invf_prev: np.ndarray,
            bw_prev: np.ndarray) -> np.ndarray:
     """Chirp-factor smoothing per noise band (§4.6.18.6.1, Table 4.158:
@@ -977,21 +999,19 @@ class SbrDecoder:
         b1 = 2 * ch.t_env[-1] + T_HFADJ
         noise_of_band = np.searchsorted(ft.f_noise[1:-1],
                                         kx + np.arange(m_max), side="right")
-        m_abs = kx
-        alphas = {}
-        for start, num in zip(ft.patch_start, ft.patch_num):
-            for x in range(num):
-                p = start + x
-                if p not in alphas:
-                    alphas[p] = _lpc_alphas(x_low[p])
-                a0, a1 = alphas[p]
-                bwv = bw[noise_of_band[m_abs - kx]]
-                seg = x_low[p, b0:b1]
-                if bwv > 0.0:
-                    seg = (seg + bwv * a0 * x_low[p, b0 - 1:b1 - 1]
-                           + bwv * bwv * a1 * x_low[p, b0 - 2:b1 - 2])
-                x_high[m_abs, b0:b1] = seg
-                m_abs += 1
+        # patch source band per target band, then one batched LPC +
+        # chirped extrapolation over all patch rows at once
+        ps = np.concatenate([start + np.arange(num) for start, num
+                             in zip(ft.patch_start, ft.patch_num)])
+        bwv = bw[noise_of_band[: ps.shape[0]]]          # [P]
+        a0, a1 = _lpc_alphas_batch(x_low[ps])
+        seg = x_low[ps, b0:b1]
+        live = bwv > 0.0
+        c0 = np.where(live, bwv, 0.0)[:, None] * a0[:, None]
+        c1 = np.where(live, bwv * bwv, 0.0)[:, None] * a1[:, None]
+        seg = seg + c0 * x_low[ps, b0 - 1:b1 - 1] \
+            + c1 * x_low[ps, b0 - 2:b1 - 2]
+        x_high[kx: kx + ps.shape[0], b0:b1] = seg
 
         # --- mapping (§4.6.18.7.2)
         n_env = ch.num_env
