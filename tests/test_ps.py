@@ -256,3 +256,47 @@ def test_ps_vs_libavcodec_dynamic(oracle):
     ref = _oracle_pcm(oracle, aus, _asc_1024(6, 1))
     mine = _decode_mine(aus)
     _compare(mine, ref, min_snr=80.0)
+
+
+def test_malformed_ps_data_disables_ps_keeps_sbr():
+    """Garbage in the PS extension must turn PS off until the next
+    header WITHOUT touching SBR state (the decoder separates the two
+    failure domains, unlike a shared parse error path)."""
+    import numpy as np
+    from dabjax.audio.sbr import SbrDecoder, SbrHeader
+    from dabjax.tx.sbr_enc import SbrWriter
+
+    w = SbrWriter(SbrHeader(), 2 * CORE_FS)
+    nb = w.ft.n(0)
+    good_ps = ps_data_bits(iid=[np.zeros(20, int)],
+                           icc=[np.zeros(20, int)])
+    # iid deltas out of range -> decoder must reject
+    bad_ps = ps_data_bits(iid=[np.full(20, 14, int)],
+                          icc=[np.zeros(20, int)])
+
+    def payload(ps_bits):
+        bits = w.sce_payload([np.full(nb, 50, int)],
+                             [np.full(w.ft.n_q, 10, int)],
+                             invf=[0] * w.ft.n_q, ps_bits=ps_bits)
+        return np.packbits(np.array(bits + [0] * ((-len(bits)) % 8),
+                                    np.uint8)).tobytes()
+
+    dec = SbrDecoder(CORE_FS, 1024, 1)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((1024, 1)) * 0.1)
+
+    dec.parse_extension(payload(good_ps), crc=False)
+    assert dec.ps_common.start
+    out = dec.apply(x)
+    assert out.shape[1] == 2                   # PS active -> stereo
+
+    dec.parse_extension(payload(bad_ps), crc=False)
+    assert not dec.ps_common.start             # PS off after bad data
+    assert dec.parse_errors == 0               # SBR itself unaffected
+    assert dec.ch_data[0] is not None
+    out = dec.apply(x)
+    assert out.shape[1] == 1                   # mono until next header
+
+    dec.parse_extension(payload(good_ps), crc=False)
+    assert dec.ps_common.start                 # recovers with a header
+    assert dec.apply(x).shape[1] == 2
