@@ -355,13 +355,18 @@ def _remap(par, nr, is34):
 
 
 def _remap_ipdopd(par, nr, is34):
+    """IPD/OPD rows onto the processing grid's 11/17 phase bands.
+
+    Cross-grid cases (a 20-par stream decoded on the 34-band grid or
+    vice versa) reuse the band-edge duplication maps clipped to the
+    available parameter count — phases vary slowly across bands, so
+    edge duplication is the spec's own coarse-grid behavior."""
     n = PT.NR_IPDOPD_BANDS[is34]
     if is34:
         if nr >= 17:
             return par[:17]
-        if nr == 11:
-            return par[_MAP_20_TO_34[:17] % 11]
-        return par[_MAP_10_TO_34[:17] % 5]
+        m = _MAP_20_TO_34[:17] if nr == 11 else _MAP_10_TO_34[:17]
+        return par[np.minimum(m, nr - 1)]
     if nr >= 11:
         return par[:11]
     out = np.zeros(11, par.dtype)
