@@ -190,10 +190,15 @@ def _make_loop_iq(services, n_frames=64, seed=0):
     return mod.iq(n_frames, snr_db=None).astype(np.complex64)
 
 
-def _receiver_bench(services, cfg_kwargs, warm_blocks=3, timed_blocks=24,
+def _receiver_bench(services, cfg_kwargs, warm_blocks=3, timed_blocks=8,
                     iq=None, gate=None):
     """Wall-clock realtime factor of the product Receiver.run() —
-    steady-state blocks after compile/warm-up; host parsing included."""
+    steady-state blocks after compile/warm-up; host parsing included.
+
+    16-frame blocks: the tunnel runtime charges 30-120 ms of dispatch
+    latency per block round-trip, so the per-block stream span must
+    dwarf it (1.5 s at 16 frames) for the number to reflect the
+    pipeline rather than the tunnel."""
     import time as _t
 
     from dabjax.constants import get_mode
@@ -202,7 +207,7 @@ def _receiver_bench(services, cfg_kwargs, warm_blocks=3, timed_blocks=24,
 
     if iq is None:
         iq = _make_loop_iq(services)
-    cfg = ReceiverConfig(**cfg_kwargs)
+    cfg = ReceiverConfig(frames_per_block=16, **cfg_kwargs)
     rx = Receiver(_LoopSource(iq), cfg)
     rx.run(warm_blocks)                      # compile + FIC lock + warm
     t0 = _t.perf_counter()
@@ -252,7 +257,7 @@ def _bench_configs():
     return out
 
 
-def _bench_multichannel(n_channels=8, n_blocks=16):
+def _bench_multichannel(n_channels=8, n_blocks=6):
     """BASELINE config 5: n channels decoded concurrently on this host
     (threaded receivers over one chip; metrics per channel)."""
     import time as _t
@@ -265,7 +270,8 @@ def _bench_multichannel(n_channels=8, n_blocks=16):
     iqs = [_make_loop_iq(mixed, seed=s) for s in range(2)]
     sources = {f"ch{i:02d}": (lambda i=i: _LoopSource(iqs[i % 2]))
                for i in range(n_channels)}
-    cfg = ReceiverConfig(decode_audio=True, decode_data=False)
+    cfg = ReceiverConfig(frames_per_block=16, decode_audio=True,
+                         decode_data=False)
     # warm: compile shared programs once
     run_channels({"warm": sources["ch00"]}, n_blocks=3,
                  receiver_config=cfg)
