@@ -26,7 +26,8 @@ from dabjax.constants import DabParams
 from dabjax.iq import device_complex
 from dabjax.ofdm import fft, tables
 
-__all__ = ["frame_window_index", "demodulate_frames", "snr_estimate",
+__all__ = ["frame_window_index", "demodulate_frames",
+           "demodulate_frames_cfo", "snr_estimate",
            "fine_cfo_estimate", "coarse_cfo_estimate", "apply_cfo"]
 
 
@@ -42,9 +43,25 @@ def min_frame_samples(p: DabParams) -> int:
     return (p.L - 1) * p.T_s + p.T_u
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_select_plan(mode: int, T_u: int, K: int):
+    """(re, im) planes of the DFT-and-de-interleave matrix [T_u, K].
+
+    Column j evaluates DFT bin ``carrier_bins[j]``: the frequency
+    de-interleave permutation (``mapper.cpp:33-117``) is folded into the
+    DFT matrix itself, so one well-shaped ``[F*L, T_u] @ [T_u, K]`` MXU
+    matmul pair replaces the two-stage FFT *and* the minor-axis gather.
+    """
+    cb = tables.carrier_bins(mode, T_u, K)
+    n = np.arange(T_u)
+    W = np.exp(-2j * np.pi * np.outer(n, cb) / T_u)
+    return W.real.astype(np.float32), W.imag.astype(np.float32)
+
+
 def demodulate_frames(samples: jnp.ndarray, p: DabParams
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Demodulate frame-aligned IQ.
+    """Demodulate frame-aligned IQ (CFO already applied; see
+    :func:`demodulate_frames_cfo` for the fused hot path).
 
     ``samples``: [F, >= (L-1)*T_s + T_u] complex64, each row starting at the
     PRS *useful part* (t = u0).
@@ -52,21 +69,69 @@ def demodulate_frames(samples: jnp.ndarray, p: DabParams
       soft: [F, L-1, 2K] float32 soft bits in -127..127
       spectra0: [F, T_u] complex PRS spectra (for SNR / coarse CFO).
     """
-    cb = jnp.asarray(tables.carrier_bins(p.mode, p.T_u, p.K))
-    # symbol windows as L static slices (a gather here costs ~3x the FFT)
-    wins = jnp.stack([samples[:, l * p.T_s: l * p.T_s + p.T_u]
-                      for l in range(p.L)], axis=1)       # [F, L, T_u]
-    spec = fft.mxu_fft(wins)                     # MXU two-stage DFT
-    # frequency de-interleave FIRST, as float (re, im) plane gathers
-    # (complex gathers along the minor axis are unimplemented on the
-    # experimental axon TPU backend), then DQPSK on the K active
-    # carriers only — T_u/K ~ 25% less elementwise work than
-    # demodulating the full spectrum before gathering.
-    sre = jnp.real(spec)[:, :, cb]               # [F, L, K]
-    sim = jnp.imag(spec)[:, :, cb]
+    return demodulate_frames_cfo(samples, jnp.zeros(samples.shape[0]), p)
+
+
+def demodulate_frames_cfo(samples: jnp.ndarray, cfo_hz: jnp.ndarray,
+                          p: DabParams, fs: float = 2_048_000.0
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Demodulate UNROTATED frame-aligned IQ with the CFO mix fused in.
+
+    The full NCO rotation ``e^{-jw(l*T_s+t)}`` of apply_cfo factors per
+    symbol window into a shared per-frame ramp ``e^{-jwt}`` (one [F, T_u]
+    cos/sin table broadcast over L — 75x fewer transcendentals than
+    rotating the raw stream) times a per-symbol constant ``e^{-jwlT_s}``.
+    The constant cancels to exactly ``e^{-jwT_s}`` in the DQPSK
+    conjugate product, where it is one scalar complex multiply per frame
+    — algebraically identical to rotating every sample, at a fraction of
+    the cost (ofdm-processor.cpp:76-81,167 does the per-sample mix).
+
+    ``samples``: [F, >= (L-1)*T_s + T_u] complex64 rows (PRS useful at 0).
+    ``cfo_hz``: [F] total CFO (fine + coarse) in Hz.
+    Returns ``(soft, spectra0)`` exactly as :func:`demodulate_frames`
+    (spectra0 matches the rotated-stream convention; at l=0 the ramp IS
+    the full rotation).
+    """
+    T_s, T_u, L, K = p.T_s, p.T_u, p.L, p.K
+    re, im = jnp.real(samples), jnp.imag(samples)
+    wr = jnp.stack([re[:, l * T_s: l * T_s + T_u]
+                    for l in range(L)], axis=1)           # [F, L, T_u]
+    wi = jnp.stack([im[:, l * T_s: l * T_s + T_u]
+                    for l in range(L)], axis=1)
+    t = jnp.arange(T_u, dtype=jnp.float32)
+    ang = (-2.0 * jnp.pi / fs) * cfo_hz[:, None].astype(jnp.float32) * t
+    cr, ci = jnp.cos(ang)[:, None, :], jnp.sin(ang)[:, None, :]
+    wr, wi = wr * cr - wi * ci, wr * ci + wi * cr
+    if jax.default_backend() == "cpu":
+        # tests / no-MXU path: native FFT + de-interleave gather
+        spec = jnp.fft.fft(jax.lax.complex(wr, wi), axis=-1)
+        cb = jnp.asarray(tables.carrier_bins(p.mode, T_u, K))
+        sre = jnp.real(spec)[:, :, cb]                    # [F, L, K]
+        sim = jnp.imag(spec)[:, :, cb]
+        spec0 = spec[:, 0, :]
+    else:
+        # one fused DFT+de-interleave matmul pair on the MXU.  Default
+        # (single-pass bf16) precision: products carry ~2^-9 relative
+        # rounding which accumulates incoherently over the 2048-term
+        # dot while the signal bin accumulates coherently — an added
+        # noise floor ~54 dB below the symbol, far inside the DQPSK
+        # decision margin (correctness is asserted bit-exactly after
+        # the CRC gates, never on float soft bits — CLAUDE.md).
+        Wr, Wi = map(jnp.asarray, _dft_select_plan(p.mode, T_u, K))
+        dot = functools.partial(jnp.einsum, "flt,tk->flk")
+        sre = dot(wr, Wr) - dot(wi, Wi)                   # [F, L, K]
+        sim = dot(wr, Wi) + dot(wi, Wr)
+        s0r, s0i = fft.mxu_fft_ri(wr[:, 0], wi[:, 0])     # PRS spectrum
+        spec0 = jax.lax.complex(s0r, s0i)
     # r1 = F_l * conj(F_{l-1}) per active carrier
     r1re = sre[:, 1:] * sre[:, :-1] + sim[:, 1:] * sim[:, :-1]
     r1im = sim[:, 1:] * sre[:, :-1] - sre[:, 1:] * sim[:, :-1]
+    # fold the per-symbol rotation constant back in: one complex scalar
+    # e^{-jwT_s} per frame (phase-only — |r1| is unchanged)
+    pang = ((-2.0 * jnp.pi / fs) * cfo_hz.astype(jnp.float32)
+            * T_s)[:, None, None]
+    pr, pi_ = jnp.cos(pang), jnp.sin(pang)
+    r1re, r1im = r1re * pr - r1im * pi_, r1re * pi_ + r1im * pr
     inv = jax.lax.rsqrt(r1re * r1re + r1im * r1im + 1e-38)
     soft = jnp.concatenate([-r1re * inv * 127.0,
                             -r1im * inv * 127.0], axis=-1)
@@ -76,7 +141,7 @@ def demodulate_frames(samples: jnp.ndarray, p: DabParams
     # Pallas Viterbi kernel stream int8 soft values and use a single exact
     # bf16 MXU pass (viterbi_pallas.py).
     soft = jnp.round(soft).astype(jnp.float32)
-    return soft, spec[:, 0, :]
+    return soft, spec0
 
 
 def snr_estimate(spectrum0: jnp.ndarray, p: DabParams) -> jnp.ndarray:

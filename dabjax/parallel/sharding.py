@@ -57,8 +57,7 @@ def sharded_ensemble_step(mesh: Mesh, p: DabParams, proto: SubchGeometry):
         # rows_loc: [F_loc, need, 2] float IQ pairs; starts_loc: [S_loc]
         rows_loc = unpack_iq(rows_loc)
         fine = demod.fine_cfo_estimate(rows_loc, p)
-        rows_loc = demod.apply_cfo(rows_loc, fine)
-        soft, _ = demod.demodulate_frames(rows_loc, p)
+        soft, _ = demod.demodulate_frames_cfo(rows_loc, fine, p)
         _, ok = decode_fic(soft[:, : p.fic_symbols, :], p)
         fic_ratio = jax.lax.psum(jnp.sum(ok.astype(jnp.float32)), "time")
         fic_total = jax.lax.psum(

@@ -32,8 +32,7 @@ def frame_pipeline(p: DabParams):
     def fn(rows):
         rows = unpack_iq(rows)
         fine = demod.fine_cfo_estimate(rows, p)
-        rows = demod.apply_cfo(rows, fine)
-        soft, spec0 = demod.demodulate_frames(rows, p)
+        soft, spec0 = demod.demodulate_frames_cfo(rows, fine, p)
         snr = demod.snr_estimate(spec0, p)
         fibs, ok = decode_fic(soft[:, : p.fic_symbols, :], p)
         return soft, fibs, ok, snr
@@ -56,8 +55,7 @@ def full_ensemble_pipeline(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
     def fn(rows):
         rows = unpack_iq(rows)
         fine = demod.fine_cfo_estimate(rows, p)
-        rows = demod.apply_cfo(rows, fine)
-        soft, _ = demod.demodulate_frames(rows, p)
+        soft, _ = demod.demodulate_frames_cfo(rows, fine, p)
         fibs, ok = decode_fic(soft[:, : p.fic_symbols, :], p)
         cifs = cifs_from_soft(soft, p)
         idx = starts[:, None] + np.arange(n_bits)[None, :]
@@ -94,8 +92,7 @@ def pipeline_stages(p: DabParams, geoms: Tuple[SubchGeometry, ...]):
     def _front(rows):
         rows = unpack_iq(rows)
         fine = demod.fine_cfo_estimate(rows, p)
-        rows = demod.apply_cfo(rows, fine)
-        soft, _ = demod.demodulate_frames(rows, p)
+        soft, _ = demod.demodulate_frames_cfo(rows, fine, p)
         return soft
 
     def _fic(soft):

@@ -553,16 +553,19 @@ def _build_block_fn_for(p, mesh):
         # cancels from the estimate — one fused rotation replaces the
         # two full passes over the block.
         fine = demod.fine_cfo_estimate(rows, p)
-        rows = demod.apply_cfo(
-            rows, fine + jnp.broadcast_to(coarse_hz, rows.shape[:1]))
-        soft, spec0 = demod.demodulate_frames(rows, p)
+        cfo = fine + jnp.broadcast_to(coarse_hz, rows.shape[:1])
+        soft, spec0 = demod.demodulate_frames_cfo(rows, cfo, p)
+        # only the PRS windows need an explicitly rotated time-domain
+        # copy (T_u of ~155k samples per row — the full-stream rotation
+        # the fused demod avoids)
+        prs_rows = demod.apply_cfo(rows[:, : p.T_u], cfo)
         snr = demod.snr_estimate(spec0, p)
         coarse = demod.coarse_cfo_estimate(spec0, p)
         fibs, fic_ok = decode_fic(soft[:, : p.fic_symbols, :], p)
         # per-frame PRS timing: correlate EVERY frame's PRS window (the
         # batched analog of the per-frame resync, ofdm-processor.cpp:
         # 344-366); t_ok rejects weak peaks so noise never steers timing
-        t_off, t_ok = acquisition.prs_sync(rows[:, : p.T_u], p)
+        t_off, t_ok = acquisition.prs_sync(prs_rows, p)
         # scopes: mean PRS magnitude spectrum (fftshifted) + the
         # constellation of the first data symbol (ofdm-decoder's IQ
         # scope feed, every 8th frame -> here once per block)
