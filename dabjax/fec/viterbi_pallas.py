@@ -82,6 +82,56 @@ def _radix4_matrices():
     return P4, S4
 
 
+def _forward_kernel_lane(T2):
+    """One aligned int8 MXU dot per 16-step word (SOFT_FMT="i8lane").
+
+    The per-step ``soft_ref[8j:8j+8]`` sublane slice of an int8 tile
+    (32-sublane tiling) is misaligned and costs a relayout per step —
+    measured ~4x the bare dot.  Packing the 16 steps side by side on
+    LANES instead ([8, 16*LB] per word) makes the branch metrics of the
+    whole word ONE [256, 8] @ [8, 16*LB] int8 dot, and every per-step
+    view a lane slice at a multiple of LB (aligned).  LB is capped so
+    the [256, 16*LB] int32 bm plane fits VMEM.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    C = _PAIRS_PER_WORD
+
+    def kernel(soft_ref, s_ref, dec_ref, pm_ref):
+        # soft_ref [1, 1, 8, C*LB] int8; dec_ref [1, 64, LB] int32 out;
+        # pm_ref [64, LB] int32 scratch persisted across words.
+        B = pm_ref.shape[1]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            state_ids = jax.lax.broadcasted_iota(jnp.int32, (64, B), 0)
+            pm_ref[:] = jnp.where(state_ids == 0, 0, -(1 << 29))
+
+        bm_all = jax.lax.dot_general(
+            s_ref[:], soft_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # [256, C*B]
+        acc = jnp.zeros((64, B), jnp.int32)
+        for j in range(C):                     # unrolled: aligned slices
+            bm = bm_all[:, j * B: (j + 1) * B]
+            m = jnp.repeat(pm_ref[:], 4, axis=0) + bm
+            m00, m01 = m[0:64, :], m[64:128, :]
+            m10, m11 = m[128:192, :], m[192:256, :]
+            a = jnp.maximum(m00, m10)
+            da = (m10 > m00).astype(jnp.int32)
+            b = jnp.maximum(m01, m11)
+            db = (m11 > m01).astype(jnp.int32)
+            d1 = b > a
+            pm_ref[:] = jnp.where(d1, b, a)
+            d0 = jnp.where(d1, db, da)
+            e = (d0 << 1) | d1.astype(jnp.int32)
+            acc = acc | (e << (2 * j))
+        dec_ref[0] = acc
+
+    return kernel
+
+
 def _forward_kernel(T2, soft_fmt):
     import jax
     import jax.numpy as jnp
@@ -200,7 +250,9 @@ def _plan(B: int, T2: int, soft_fmt: str):
     f32 (256 B/lane) -> ~1 KB/lane (f32) or ~0.9 KB/lane (i8); the LB
     caps keep that under ~10 MB of the 16 MB scoped VMEM.
     """
-    cap = 5120 if soft_fmt == "f32" else 8192
+    # i8lane: the kernel materializes a [256, C*LB] int32 bm plane, so the
+    # lane block is capped at 512 (8 MB + scratch fits scoped VMEM).
+    cap = {"f32": 5120, "i8lane": 512}.get(soft_fmt, 8192)
     LB = min(_round_up(max(B, 1), _LANES), cap)
     Bp = _round_up(max(B, 1), LB)
     n_lb = Bp // LB
@@ -209,12 +261,13 @@ def _plan(B: int, T2: int, soft_fmt: str):
     return LB, Bp, n_lb, Tp2, W
 
 
-# soft-input format for the forward kernel: "i8mxu" streams packed int8
-# soft values AND runs the branch-metric dot as an int8 x int8 -> int32
-# MXU pass with the ACS in int32; "i8" streams int8 but computes in
-# f32/bf16; "f32" streams float planes.  All three are exact for
-# integer-valued soft bits.
-SOFT_FMT = "i8mxu"
+# soft-input format for the forward kernel: "i8lane" packs the 16 pair
+# steps of each word along LANES and computes the word's branch metrics
+# as ONE aligned int8 x int8 -> int32 MXU dot (fastest measured); "i8mxu"
+# streams packed int8 sublane-major with one dot per step; "i8" streams
+# int8 but computes in f32/bf16; "f32" streams float planes.  All are
+# exact for integer-valued soft bits.
+SOFT_FMT = "i8lane"
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
@@ -247,12 +300,36 @@ def viterbi_forward_words(soft, nbits: int, interpret: bool = False):
         # wrapping in the int8 cast
         s = jnp.clip(s, -127, 127).astype(jnp.int8)
     s = jnp.pad(s, ((0, 0), (0, 2 * Tp2 - T), (0, 0)))
-    s = jnp.moveaxis(s.reshape(B, Tp2, 8), 0, -1)  # [Tp2, 8, B]
-    s = jnp.pad(s, ((0, 0), (0, 0), (0, Bp - B)))
 
     _, S4 = _radix4_matrices()
-    S4 = jnp.asarray(S4.astype(np.int8) if SOFT_FMT == "i8mxu"
-                     else S4)                        # [256, 8]
+    S4 = jnp.asarray(S4 if SOFT_FMT == "f32"
+                     else S4.astype(np.int8))        # [256, 8]
+    C = _PAIRS_PER_WORD
+
+    if SOFT_FMT == "i8lane":
+        # [W, n_lb, 8, C*LB]: step j of word w for lane block l sits at
+        # lanes j*LB..(j+1)*LB — every kernel view is lane-aligned
+        s = jnp.pad(s.reshape(B, Tp2, 8), ((0, Bp - B), (0, 0), (0, 0)))
+        s = s.reshape(n_lb, LB, W, C, 8).transpose(2, 0, 4, 3, 1)
+        s = s.reshape(W, n_lb, 8, C * LB)
+        return pl.pallas_call(
+            _forward_kernel_lane(T2),
+            grid=(n_lb, W),
+            in_specs=[
+                pl.BlockSpec((1, 1, 8, C * LB), lambda l, i: (i, l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((256, 8), lambda l, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 64, LB), lambda l, i: (i, 0, l),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((W, 64, Bp), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((64, LB), jnp.int32)],
+            interpret=interpret,
+        )(s, S4)
+
+    s = jnp.moveaxis(s.reshape(B, Tp2, 8), 0, -1)  # [Tp2, 8, B]
+    s = jnp.pad(s, ((0, 0), (0, 0), (0, Bp - B)))
 
     if SOFT_FMT == "f32":
         soft_spec = pl.BlockSpec((_PAIRS_PER_WORD, 8, LB),
