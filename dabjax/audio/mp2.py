@@ -113,6 +113,30 @@ class _BitReader:
         return v
 
 
+def _read_fields(bits: np.ndarray, starts: np.ndarray,
+                 widths: np.ndarray) -> np.ndarray:
+    """Extract many MSB-first bit fields from an unpacked bit array in one
+    vectorized pass (the per-field Python loop was the receiver's single
+    hottest host function before this: 600k+ np.arange calls per second of
+    MP2 audio)."""
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    W = int(widths.max())
+    j = np.arange(W)
+    idx = starts[:, None] + j[None, :]
+    valid = j[None, :] < widths[:, None]
+    need = int(idx.max()) + 1
+    if need > bits.shape[0]:          # truncated frame: missing bits read 0
+        bits = np.concatenate([bits, np.zeros(need - bits.shape[0],
+                                              bits.dtype)])
+    vals = bits[idx].astype(np.int64)
+    weights = np.where(valid,
+                       np.left_shift(1, np.maximum(
+                           widths[:, None] - 1 - j[None, :], 0)), 0)
+    return (vals * weights * valid).sum(axis=1)
+
+
 def frame_size_bytes(bitrate_kbps: int, sample_rate: int,
                      padding: int = 0) -> int:
     return 144000 * bitrate_kbps // sample_rate + padding
@@ -146,7 +170,40 @@ def parse_header(frame: np.ndarray) -> Optional[FrameInfo]:
 
 
 class _SynthesisState:
-    """1024-sample rolling V buffer per channel (ISO 11172-3 §2.4.3.3)."""
+    """Polyphase synthesis state (ISO 11172-3 §2.4.3.3), kept as the 15
+    most recent 64-sample matrixing blocks per channel (oldest first) so a
+    whole frame's 36 granules synthesize in one batched pass."""
+
+    def __init__(self):
+        self.chron = np.zeros((2, 15, 64), np.float64)
+
+    def run_batch(self, S: np.ndarray) -> np.ndarray:
+        """``S``: [G, 2, 32] subband granules -> [G*32, 2] PCM float.
+
+        Equivalent to G sequential runs of the classic 1024-sample rolling
+        V-buffer: V blocks become rows of a chronological [2, 15+G, 64]
+        array; each granule's 512-sample U vector is assembled from its 16
+        newest blocks (first half of even blocks, second half of odd — the
+        ±96 shifting of the spec) via a sliding window, then windowed by D
+        and folded.  Ref: mp2processor.cpp:38-634 (kjmp2 synthesis)."""
+        from numpy.lib.stride_tricks import sliding_window_view
+        G = S.shape[0]
+        n = _synthesis_matrix()
+        new = np.einsum('ks,gcs->cgk', n, S)             # [2, G, 64]
+        chron = np.concatenate([self.chron, new], axis=1)
+        win = sliding_window_view(chron, 16, axis=1)     # [2, G, 64, 16]
+        nf = win[..., ::-1].transpose(0, 1, 3, 2)        # newest-first
+        u = np.concatenate([nf[:, :, 0::2, :32],
+                            nf[:, :, 1::2, 32:]], axis=-1)
+        w = u.reshape(2, G, 512) * D
+        pcm = -(w.reshape(2, G, 16, 32).sum(axis=2))     # [2, G, 32]
+        self.chron = chron[:, -15:].copy()
+        return pcm.transpose(1, 2, 0).reshape(G * 32, 2)
+
+
+class _SynthesisStateRef:
+    """1024-sample rolling V buffer per channel — the scalar reference the
+    batched _SynthesisState is differentially tested against."""
 
     def __init__(self):
         self.V = np.zeros((2, 1024), np.float64)
@@ -172,9 +229,152 @@ class _SynthesisState:
         return out
 
 
+_SCFSI_COUNT = {0: 3, 1: 2, 2: 1, 3: 2}
+
+
 def decode_frame(frame: np.ndarray, state: Optional[_SynthesisState] = None
                  ) -> Tuple[Optional[np.ndarray], Optional[FrameInfo]]:
-    """Decode one Layer II frame -> (pcm int16 [1152?, 2], info).
+    """Decode one Layer II frame -> (pcm int16 [1152, 2], info).
+
+    Vectorized: the bit stream is parsed in four staged `_read_fields`
+    passes (allocation -> scfsi -> scalefactors -> all 12 granule-groups
+    of samples, whose layout repeats exactly once the allocation is
+    known), dequantization is one array expression, and synthesis runs
+    all 36 granules in a single batched filterbank pass.  ~50x faster
+    than the per-bit reader it replaced; differentially tested against
+    `_decode_frame_ref` (tests/test_audio.py).
+    """
+    info = parse_header(frame)
+    if info is None:
+        return None, None
+    frame = np.asarray(frame, np.uint8)
+    bits = np.unpackbits(frame)
+    protection = int(frame[1]) & 1
+    mode = (int(frame[3]) >> 6) & 3
+    bound = 32
+    if mode == JOINT_STEREO:
+        bound = (((int(frame[3]) >> 4) & 3) + 1) << 2
+    elif mode == MONO:
+        bound = 0
+    pos = 32 + (16 if protection == 0 else 0)
+
+    nch = 1 if mode == MONO else 2
+    if info.mpeg2:
+        rows, sblimit = _ALLOC_LSF, 30
+    else:
+        rows, sblimit = _alloc_table(info.bitrate // nch, info.sample_rate)
+    bound = min(bound, sblimit)
+
+    # ---- stage 1: allocation codes (widths known from the table alone)
+    widths, read_sb = [], []
+    for sb in range(bound):
+        widths += [rows[sb][0]] * 2
+        read_sb += [sb, sb]
+    for sb in range(bound, sblimit):
+        widths.append(rows[sb][0])
+        read_sb.append(sb)
+    w = np.asarray(widths, np.int64)
+    starts = pos + np.concatenate([[0], np.cumsum(w)[:-1]])
+    codes = _read_fields(bits, starts, w)
+    pos += int(w.sum())
+
+    nlev = np.zeros((2, 32), np.int64)
+    i = 0
+    for sb in range(bound):
+        for ch in range(2):
+            c = int(codes[i]); i += 1
+            if c:
+                nlev[ch, sb] = rows[sb][1][c - 1]
+    for sb in range(bound, sblimit):
+        c = int(codes[i]); i += 1
+        if c:
+            nlev[0, sb] = nlev[1, sb] = rows[sb][1][c - 1]
+
+    # ---- stage 2: scfsi (2 bits per transmitted subband/channel)
+    sel = [(ch, sb) for sb in range(sblimit) for ch in range(nch)
+           if nlev[ch, sb]]
+    n2 = len(sel)
+    v2 = _read_fields(bits, pos + 2 * np.arange(n2), np.full(n2, 2))
+    pos += 2 * n2
+    scfsi = np.zeros((2, 32), np.int64)
+    for (ch, sb), v in zip(sel, v2):
+        scfsi[ch, sb] = v
+    if mode == MONO:
+        scfsi[1] = scfsi[0]
+
+    # ---- stage 3: scalefactors (all 6-bit; count set by scfsi pattern)
+    n3 = sum(_SCFSI_COUNT[int(scfsi[ch, sb])] for ch, sb in sel)
+    v6 = _read_fields(bits, pos + 6 * np.arange(n3), np.full(n3, 6))
+    pos += 6 * n3
+    sf = np.zeros((2, 32, 3), np.int64)
+    i = 0
+    for ch, sb in sel:
+        s = int(scfsi[ch, sb])
+        if s == 0:
+            sf[ch, sb] = v6[i:i + 3]; i += 3
+        elif s == 1:
+            sf[ch, sb] = (v6[i], v6[i], v6[i + 1]); i += 2
+        elif s == 2:
+            sf[ch, sb] = (v6[i],) * 3; i += 1
+        else:
+            sf[ch, sb] = (v6[i], v6[i + 1], v6[i + 1]); i += 2
+    if mode == MONO:
+        sf[1] = sf[0]
+
+    # ---- stage 4: samples.  Every one of the 12 granule-groups has the
+    # identical field layout, so one extraction covers the whole frame.
+    ent = []                  # (ch or None=shared, sb, nlevels, grouped, fi)
+    w1: List[int] = []
+    for sb in range(bound):
+        for ch in range(2):
+            n = int(nlev[ch, sb])
+            if n == 0:
+                continue
+            grouped, nbits = QUANT_BY_STEPS[n]
+            ent.append((ch, sb, n, grouped, len(w1)))
+            w1 += [nbits] if grouped else [nbits] * 3
+    for sb in range(bound, sblimit):
+        n = int(nlev[0, sb])
+        if n == 0:
+            continue
+        grouped, nbits = QUANT_BY_STEPS[n]
+        ent.append((None, sb, n, grouped, len(w1)))
+        w1 += [nbits] if grouped else [nbits] * 3
+    wa = np.asarray(w1, np.int64)
+    W1 = int(wa.sum())
+    off1 = np.concatenate([[0], np.cumsum(wa)[:-1]])
+    starts = (pos + np.arange(12)[:, None] * W1 + off1[None, :]).ravel()
+    raw = _read_fields(bits, starts, np.tile(wa, 12)).reshape(12, len(wa))
+
+    scale = np.where(sf == 63, 0.0, 2.0 ** (1.0 - sf / 3.0))  # [2, 32, 3]
+    part = np.arange(12) // 4
+    s_all = np.zeros((12, 2, 32, 3))
+    for ch, sb, n, grouped, fi in ent:
+        if grouped:
+            val = raw[:, fi]
+            v = np.stack([val % n, (val // n) % n,
+                          val // (n * n)], axis=-1).astype(np.float64)
+        else:
+            v = raw[:, fi:fi + 3].astype(np.float64)
+        frac = ((((n + 1) >> 1) - 1) - v) / ((n + 1) / 2.0)
+        if ch is None:        # shared samples, per-channel scalefactors
+            s_all[:, 0, sb] = frac * scale[0, sb, part, None]
+            s_all[:, 1, sb] = frac * scale[1, sb, part, None]
+        else:
+            s_all[:, ch, sb] = frac * scale[ch, sb, part, None]
+
+    state = state or _SynthesisState()
+    granules = s_all.transpose(0, 3, 1, 2).reshape(36, 2, 32)
+    pcm = state.run_batch(granules)
+    out = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+    return out, info
+
+
+def _decode_frame_ref(frame: np.ndarray,
+                      state: Optional[_SynthesisStateRef] = None
+                      ) -> Tuple[Optional[np.ndarray], Optional[FrameInfo]]:
+    """Scalar per-bit reference decoder (the original implementation),
+    kept for differential testing of the vectorized `decode_frame`.
 
     Layer II frames carry 36 samples x 32 subbands = 1152 PCM frames
     (MPEG-1) — DAB uses 48 kHz MPEG-1 or 24 kHz MPEG-2 LSF, both 1152.
@@ -265,7 +465,7 @@ def decode_frame(frame: np.ndarray, state: Optional[_SynthesisState] = None
         frac = (adj - v) / ((nlevels + 1) / 2.0)
         return frac * _scale_value(sfv)
 
-    state = state or _SynthesisState()
+    state = state or _SynthesisStateRef()
     pcm = np.empty((36 * 32, 2), np.float64)
     pos = 0
     for part in range(3):
@@ -330,11 +530,11 @@ class Mp2Decoder:
                 out.append(pcm)
 
     def _find_sync(self) -> Optional[int]:
-        b = self._buf
-        for i in range(len(b) - 3):
-            if b[i] == 0xFF and (b[i + 1] & 0xF6) == 0xF4:
-                return i
-        return None
+        b = np.frombuffer(self._buf, np.uint8)
+        if b.shape[0] < 4:
+            return None
+        hits = np.flatnonzero((b[:-3] == 0xFF) & ((b[1:-2] & 0xF6) == 0xF4))
+        return int(hits[0]) if hits.size else None
 
 
 # --------------------------------------------------------------- encoder
