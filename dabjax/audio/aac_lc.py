@@ -51,27 +51,29 @@ class BitReader:
     """MSB-first bit reader over a byte string."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(bytes(data), np.uint8))
+        data = bytes(data)
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
         self.pos = 0
+        # arbitrary-width reads as one big-int shift+mask (CPython bignum
+        # shifts are C loops — far cheaper than a per-bit numpy loop)
+        self._bi = int.from_bytes(data, "big")
+        self._nbits = 8 * len(data)
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
         p = self.pos
-        if p + n > self.bits.shape[0]:
+        if p + n > self._nbits:
             raise EOFError("bitstream exhausted")
         self.pos = p + n
-        v = 0
-        for b in self.bits[p: p + n]:
-            v = (v << 1) | int(b)
-        return v
+        return (self._bi >> (self._nbits - p - n)) & ((1 << n) - 1)
 
     def read1(self) -> int:
         p = self.pos
-        if p >= self.bits.shape[0]:
+        if p >= self._nbits:
             raise EOFError("bitstream exhausted")
         self.pos = p + 1
-        return int(self.bits[p])
+        return (self._bi >> (self._nbits - p - 1)) & 1
 
     def byte_align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -157,8 +159,16 @@ class _Filterbank:
         self.nlong = frame_len
         self.nshort = frame_len // 8
         self.nflat = (self.nlong - self.nshort) // 2
-        self.imdct_long = _imdct_matrix(self.nlong)
         self.imdct_short = _imdct_matrix(self.nshort)
+        # FFT-based long IMDCT: y[t] = 2 Re(e^{i pi t/n} ifft(X*pre)[t])
+        # with pre[k] = e^{i pi (2k+1) n0 / n} — algebraically equal to
+        # (2/N) M^T @ X (see _imdct_matrix) at O(n log n) instead of the
+        # dense [2n, n] matvec that dominated the AAC host plane.
+        n = 2 * self.nlong
+        n0 = (self.nlong + 1) / 2.0
+        k = np.arange(self.nlong)
+        self._imdct_pre = np.exp(1j * np.pi * (2 * k + 1) * n0 / n)
+        self._imdct_post = np.exp(1j * np.pi * np.arange(n) / n)
         self.win_long = (_sine_window(self.nlong),
                          _kbd_window(self.nlong, 4.0))
         self.win_short = (_sine_window(self.nshort),
@@ -188,7 +198,8 @@ class _Filterbank:
             new_overlap = tmp[nl:]
             return pcm, new_overlap
 
-        buf = self.imdct_long.T @ spec               # [2*nl]
+        buf = 2.0 * (self._imdct_post
+                     * np.fft.ifft(spec * self._imdct_pre, 2 * nl)).real
         first = buf[:nl].copy()
         second = buf[nl:].copy()
         if window_sequence in (ONLY_LONG, LONG_START):

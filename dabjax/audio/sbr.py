@@ -574,7 +574,9 @@ class _QmfAnalysis:
                - np.arange(10)[None, :])                # newest first
         xs = blocks[idx].reshape(s_cnt, 320)            # [S, 320]
         u = (xs * self.win).reshape(s_cnt, 5, 64).sum(axis=1)
-        out = u @ self.mod.T                            # [S, 32]
+        # real input x complex basis as two real GEMMs (half the flops of
+        # the promoted complex GEMM)
+        out = (u @ self.mod.real.T) + 1j * (u @ self.mod.imag.T)  # [S, 32]
         self.x = xs[-1] if s_cnt else self.x
         return out
 
@@ -603,7 +605,10 @@ class _QmfSynthesis:
         s_cnt = x_slots.shape[0]
         if not s_cnt:
             return np.empty(0)
-        g = (x_slots @ self.mod).real / -64.0           # [S, 128]
+        # Re(z @ mod) = zr @ mod.re - zi @ mod.im: two real GEMMs instead
+        # of a full complex GEMM whose imaginary half is discarded
+        g = (x_slots.real @ self.mod.real
+             - x_slots.imag @ self.mod.imag) / -64.0    # [S, 128]
         ghist = self.v.reshape(10, 128)                 # rows s-1..s-10
         gall = np.concatenate([ghist[::-1], g])         # time order
         base = ghist.shape[0] + np.arange(s_cnt)
@@ -1107,40 +1112,59 @@ class SbrDecoder:
             for i in range(4):
                 g_temp[i + t0s] = g_temp[i + st.t_end_old]
                 q_temp[i + t0s] = q_temp[i + st.t_end_old]
-        for e in range(n_env):
-            for i in range(2 * ch.t_env[e], 2 * ch.t_env[e + 1]):
-                g_temp[h_sl + i, :m_max] = gain[e]
-                q_temp[h_sl + i, :m_max] = q_m[e]
+        i_fill = np.arange(2 * ch.t_env[0], 2 * ch.t_env[-1])
+        e_fill = np.searchsorted(2 * np.asarray(ch.t_env[1:]), i_fill,
+                                 side="right")
+        g_temp[h_sl + i_fill, :m_max] = gain[e_fill]
+        q_temp[h_sl + i_fill, :m_max] = q_m[e_fill]
         h_smooth = np.asarray(ST.H_SMOOTH)
         idx_noise, idx_sine = st.index_noise, st.index_sine
-        phi_re = (1.0, 0.0, -1.0, 0.0)
-        phi_im = (0.0, 1.0, 0.0, -1.0)
+        phi_re = np.array((1.0, 0.0, -1.0, 0.0))
+        phi_im = np.array((0.0, 1.0, 0.0, -1.0))
         alt = np.where((kx + np.arange(m_max)) & 1, -1.0, 1.0)
-        for e in range(n_env):
-            transient = (e == st.e_a0 or e == e_a1)
-            for i in range(2 * ch.t_env[e], 2 * ch.t_env[e + 1]):
-                if h_sl and not transient:
-                    rows = g_temp[i + h_sl - 4: i + h_sl + 1, :m_max]
-                    g_filt = (rows[::-1] * h_smooth[:, None]).sum(axis=0)
-                    rows = q_temp[i + h_sl - 4: i + h_sl + 1, :m_max]
-                    q_filt = (rows[::-1] * h_smooth[:, None]).sum(axis=0)
-                else:
-                    g_filt = g_temp[i + h_sl, :m_max]
-                    q_filt = q_temp[i + h_sl, :m_max]
-                y[i, kx: kx + m_max] = \
-                    x_high[kx: kx + m_max, i + T_HFADJ] * g_filt
-                sine = s_m[e] * (phi_re[idx_sine]
-                                 + 1j * phi_im[idx_sine] * alt)
-                if not transient:
-                    noise_idx = (idx_noise + 1 + np.arange(m_max)) & 0x1ff
-                    noise = (ST.NOISE_TABLE[noise_idx, 0]
-                             + 1j * ST.NOISE_TABLE[noise_idx, 1])
-                    y[i, kx: kx + m_max] += np.where(
-                        s_m[e] != 0.0, sine, q_filt * noise)
-                else:
-                    y[i, kx: kx + m_max] += sine
-                idx_noise = (idx_noise + m_max) & 0x1ff
-                idx_sine = (idx_sine + 1) & 3
+        # one vectorized pass over all 2*t_env[0]..2*t_env[-1] slots (was a
+        # per-slot Python loop — the AAC host plane's hottest region): the
+        # smoothing filter becomes a sliding-window tensordot, and the
+        # noise/sine phase sequences are generated in closed form from the
+        # per-slot index recurrences.
+        i_all = np.arange(t0s, 2 * ch.t_env[-1])
+        if i_all.shape[0]:
+            n_sl = i_all.shape[0]
+            e_of_i = np.searchsorted(2 * np.asarray(ch.t_env[1:]), i_all,
+                                     side="right")
+            trans = (e_of_i == st.e_a0) | (e_of_i == e_a1)
+            g_now = g_temp[i_all + h_sl, :m_max]
+            q_now = q_temp[i_all + h_sl, :m_max]
+            if h_sl:
+                from numpy.lib.stride_tricks import sliding_window_view
+                lo = i_all[0] + h_sl - 4
+                gw = sliding_window_view(
+                    g_temp[lo: i_all[-1] + h_sl + 1, :m_max], 5, axis=0)
+                qw = sliding_window_view(
+                    q_temp[lo: i_all[-1] + h_sl + 1, :m_max], 5, axis=0)
+                # window tap order matches rows[::-1] * h_smooth
+                g_sm = gw[:, :, ::-1] @ h_smooth
+                q_sm = qw[:, :, ::-1] @ h_smooth
+                g_filt = np.where(trans[:, None], g_now, g_sm)
+                q_filt = np.where(trans[:, None], q_now, q_sm)
+            else:
+                g_filt, q_filt = g_now, q_now
+            sl = np.arange(n_sl)
+            sine_idx = (idx_sine + sl) & 3
+            sine = (s_m[e_of_i]
+                    * (phi_re[sine_idx, None]
+                       + 1j * phi_im[sine_idx, None] * alt[None, :]))
+            noise_idx = (idx_noise + sl[:, None] * m_max + 1
+                         + np.arange(m_max)[None, :]) & 0x1ff
+            noise = (ST.NOISE_TABLE[noise_idx, 0]
+                     + 1j * ST.NOISE_TABLE[noise_idx, 1])
+            add = np.where(trans[:, None], sine,
+                           np.where(s_m[e_of_i] != 0.0, sine,
+                                    q_filt * noise))
+            y[i_all, kx: kx + m_max] = \
+                x_high[kx: kx + m_max, i_all + T_HFADJ].T * g_filt + add
+            idx_noise = (idx_noise + n_sl * m_max) & 0x1ff
+            idx_sine = (idx_sine + n_sl) & 3
         st.index_noise, st.index_sine = idx_noise, idx_sine
 
         # --- X build for synthesis (§4.6.18.8)

@@ -35,11 +35,40 @@ def crc16_update_table(poly: int = 0x1021) -> np.ndarray:
     return tab
 
 
+_CRC16_BIG_M: np.ndarray = None     # grows on demand; rows are x^k mod g
+
+
+def _crc16_big_matrix(nbits: int) -> np.ndarray:
+    """Tail-sliceable CRC bit matrix: row i of the returned (L, 16) matrix
+    is x^(L-1-i+16) mod g, so the CRC matrix for ANY message of n <= L bits
+    is its last n rows (one cached allocation serves every length)."""
+    global _CRC16_BIG_M
+    if _CRC16_BIG_M is None or _CRC16_BIG_M.shape[0] < nbits:
+        L = max(32768, 1 << int(np.ceil(np.log2(max(nbits, 16)))))
+        m = _crc16_bits_matrix(L)
+        _CRC16_BIG_M = m.astype(np.float32)
+    return _CRC16_BIG_M
+
+
 def crc16_ccitt(data: np.ndarray, init: int = 0xFFFF) -> int:
-    """CRC-CCITT over bytes (uint8 array). Returns the 16-bit remainder."""
+    """CRC-CCITT over bytes (uint8 array). Returns the 16-bit remainder.
+
+    Fast path (init 0xFFFF, the only init DAB uses): one BLAS matvec of the
+    message bits against the cached GF(2) remainder matrix — the former
+    per-byte Python loop cost ~0.3 ms per AU, which dominated the DAB+
+    host plane at 25 AUs/s/service."""
+    data = np.asarray(data, dtype=np.uint8)
+    if init == 0xFFFF and data.shape[0] >= 2:
+        bits = np.unpackbits(data)
+        n = bits.shape[0]
+        m = _crc16_big_matrix(n)[-n:]
+        # popcounts <= n < 2^24: exact in float32 BLAS
+        crc = (bits.astype(np.float32) @ m).astype(np.int64) & 1
+        crc ^= m[:16].astype(np.int64).sum(axis=0) & 1   # init-0xFFFF term
+        return int(crc @ (1 << np.arange(15, -1, -1)))
     tab = crc16_update_table()
     acc = init
-    for byte in np.asarray(data, dtype=np.uint8):
+    for byte in data:
         acc = ((acc << 8) & 0xFFFF) ^ int(tab[(acc >> 8) ^ byte])
     return acc
 

@@ -176,12 +176,20 @@ def rs_decode_np(cw: np.ndarray, n: int = _N, k: int = _K
     if L > _NROOTS // 2:
         return cw[:_K].astype(np.uint8), -1
 
-    # Chien search over valid positions (degree 0..119)
-    err_deg = []
-    for d in range(_N):
-        if _poly_eval(C[:L + 1], _pow_alpha(-d)) == 0:
-            err_deg.append(d)
-    if len(err_deg) != L:
+    log, alog = _gf_tables()
+
+    def eval_many(poly: List[int], degs: np.ndarray) -> np.ndarray:
+        """poly(alpha^{-d}) for each d, vectorized over positions."""
+        pk = np.asarray(poly, np.int64)
+        k = np.arange(pk.shape[0])
+        exps = (log[pk][None, :] - degs[:, None] * k[None, :]) % 255
+        terms = np.where(pk[None, :] == 0, 0, alog[exps])
+        return np.bitwise_xor.reduce(terms, axis=1)
+
+    # Chien search over valid positions (degree 0..N-1), one table pass
+    all_deg = np.arange(_N, dtype=np.int64)
+    err_deg = all_deg[eval_many(C[:L + 1], all_deg) == 0]
+    if err_deg.shape[0] != L:
         return cw[:_K].astype(np.uint8), -1
 
     # Forney: Omega(x) = S(x) C(x) mod x^10
@@ -191,20 +199,22 @@ def rs_decode_np(cw: np.ndarray, n: int = _N, k: int = _K
         for k in range(0, min(i, L) + 1):
             v ^= _mul(C[k], s[i - k])
         omega[i] = v
-    for d in err_deg:
-        xinv = _pow_alpha(-d)
-        num = _poly_eval(omega, xinv)
-        # formal derivative C'(x): odd-power coefficients shifted down
-        den = 0
-        for k in range(1, L + 1, 2):
-            den ^= _mul(C[k], _pow_alpha((-d) * (k - 1)))
-        if den == 0:
-            return cw[:_K].astype(np.uint8), -1
-        mag = _mul(_div(num, den), _pow_alpha(d))   # X_l^{1-fcr}, fcr=0
-        cw[_N - 1 - d] ^= mag
-    if any(int(v) for v in _syndromes_batch(cw, _N, _NROOTS)):
+    num = eval_many(omega, err_deg)
+    # formal derivative C'(x): odd-power coefficients, evaluated batched
+    kk = np.arange(1, L + 1, 2, dtype=np.int64)
+    Ck = np.asarray(C, np.int64)[kk]
+    exps = (log[Ck][None, :] - err_deg[:, None] * (kk - 1)[None, :]) % 255
+    den = np.bitwise_xor.reduce(
+        np.where(Ck[None, :] == 0, 0, alog[exps]), axis=1)
+    if (den == 0).any():
         return cw[:_K].astype(np.uint8), -1
-    return cw[:_K].astype(np.uint8), len(err_deg)
+    nz = num != 0
+    mag = np.where(
+        nz, alog[(log[num] - log[den] + err_deg) % 255 + 255], 0)
+    cw[_N - 1 - err_deg] ^= mag
+    if _syndromes_batch(cw, _N, _NROOTS).any():
+        return cw[:_K].astype(np.uint8), -1
+    return cw[:_K].astype(np.uint8), int(L)
 
 
 def rs_decode_batch(cws: np.ndarray, n: int = _N, k: int = _K
