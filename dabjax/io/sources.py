@@ -59,15 +59,17 @@ class RawFileSource:
         self._t0 = time.monotonic()
         self._delivered = 0
 
-    def read(self, n: int) -> np.ndarray:
+    def read_u8(self, n: int) -> np.ndarray:
+        """Raw uint8 IQ pairs [m, 2] (value 128 = zero) — the receiver's
+        fast upload path: the u8->float conversion happens on device,
+        bit-identical to :meth:`read`'s host conversion but with 4x less
+        host->device traffic."""
         raw = self._f.read(2 * n)
         if len(raw) < 2 * n and self.loop:
             self._f.seek(0)
             raw += self._f.read(2 * n - len(raw))
         buf = np.frombuffer(raw, np.uint8)
-        buf = buf[: (len(buf) // 2) * 2]
-        x = (buf.astype(np.float32) - 128.0) / 128.0
-        out = (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+        out = buf[: (len(buf) // 2) * 2].reshape(-1, 2)
         if self.pace:
             self._delivered += out.shape[0]
             target = self._t0 + self._delivered / self.sample_rate
@@ -75,6 +77,11 @@ class RawFileSource:
             if delay > 0:
                 time.sleep(delay)
         return out
+
+    def read(self, n: int) -> np.ndarray:
+        u8 = self.read_u8(n)
+        x = (u8.astype(np.float32) - 128.0) / 128.0
+        return (x[:, 0] + 1j * x[:, 1]).astype(np.complex64)
 
 
 class WavFileSource:

@@ -22,7 +22,70 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Sequence
 
-__all__ = ["init_distributed", "assign_channels", "run_channels"]
+__all__ = ["init_distributed", "assign_channels", "run_channels",
+           "MultiReceiver"]
+
+
+class MultiReceiver:
+    """Channel bank: k full receivers driven in lock-step with exactly ONE
+    device synchronization per block period for the whole bank.
+
+    Channels are embarrassingly parallel, and on this runtime the binding
+    constraint is the ~0.5 s fixed tunnel latency charged per sync — so
+    every channel's staged device blob (demod+FIC taps, FIB payloads,
+    bit-packed MSC frames) is concatenated on device and pulled in one
+    transfer; host-side parsing and audio then run per channel (audio on
+    each receiver's worker threads).  Device programs are shared across
+    channels via the process-wide jit caches, so the bank compiles once.
+
+    This is the one-host shape of BASELINE config 5 (8+ ensembles
+    sustained); the reference scans channels serially (gui.cpp:561-638).
+    """
+
+    def __init__(self, sources: Dict[str, object], config=None,
+                 data_handler_factory=None):
+        from dabjax.runtime.receiver import Receiver
+        self.rx: Dict[str, object] = {
+            name: Receiver(src, config,
+                           data_handler_factory=data_handler_factory)
+            for name, src in sources.items()}
+
+    def step(self) -> Dict[str, bool]:
+        """Stage every live channel, pull the merged bank blob once, then
+        consume per channel.  Returns {channel: progressed}."""
+        import jax.numpy as jnp
+        import numpy as np
+        blks = {}
+        for name, rx in self.rx.items():
+            blk = rx.stage()
+            if blk is not None:
+                blks[name] = blk
+        if not blks:
+            return {name: False for name in self.rx}
+        parts = [b.merged for b in blks.values()]
+        bank = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        big = np.asarray(bank)               # the ONE sync for the bank
+        off = 0
+        for name, b in blks.items():
+            n = int(b.merged.shape[0])
+            self.rx[name].consume(b, big[off: off + n])
+            off += n
+        return {name: (name in blks) for name in self.rx}
+
+    def run(self, n_blocks: int) -> Dict[str, object]:
+        live = set(self.rx)
+        for _ in range(n_blocks):
+            if not live:
+                break
+            progressed = self.step()
+            live = {n for n in live if progressed.get(n)}
+        for rx in self.rx.values():
+            rx._drain_audio()
+        return {name: rx.metrics for name, rx in self.rx.items()}
+
+    def close(self) -> None:
+        for rx in self.rx.values():
+            rx.close()
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -50,19 +113,21 @@ def run_channels(sources: Dict[str, Callable[[], object]],
                  coordinator: Optional[str] = None,
                  num_processes: int = 1, process_id: int = 0,
                  receiver_config=None,
-                 concurrent: bool = True) -> Dict[str, object]:
+                 concurrent: bool = True,
+                 batched: bool = True) -> Dict[str, object]:
     """Decode this host's share of ``sources`` ({channel: source factory}).
 
     Returns {channel: Metrics} for the locally-owned channels.  Factories
     (not live sources) are passed so only owned channels open hardware.
 
-    ``concurrent``: decode this host's channels in parallel threads (the
-    one-host BASELINE config-5 shape).  Device dispatches from the
-    channel threads interleave on the local chips while each channel's
-    host-side parsing (FIBs, audio, data) overlaps the others' device
-    work; channels share compiled programs via jax's jit cache when
-    their geometry matches.  ``concurrent=False`` restores serial decode
-    (deterministic ordering for debugging)."""
+    ``concurrent``: decode this host's channels concurrently (the
+    one-host BASELINE config-5 shape).  With ``batched`` (default) the
+    channels run as one :class:`MultiReceiver` bank — lock-step blocks,
+    one merged device sync per period (the tunnel's ~0.5 s fixed
+    per-sync cost made thread-per-channel receivers *slower* than serial
+    in round 4); ``batched=False`` falls back to a thread per channel.
+    ``concurrent=False`` restores serial decode (deterministic ordering
+    for debugging)."""
     from dabjax.runtime.receiver import Receiver
 
     init_distributed(coordinator, num_processes, process_id)
@@ -73,6 +138,13 @@ def run_channels(sources: Dict[str, Callable[[], object]],
             rx = Receiver(sources[chan](), receiver_config)
             out[chan] = rx.run(n_blocks)
             rx.close()
+        return out
+
+    if batched:
+        bank = MultiReceiver({chan: sources[chan]() for chan in mine},
+                             receiver_config)
+        out = bank.run(n_blocks)
+        bank.close()
         return out
 
     from concurrent.futures import ThreadPoolExecutor

@@ -15,12 +15,31 @@ Pipeline per block (all device work batched over frames):
   4. FIC: depuncture + Viterbi + CRC gate -> FIB bytes -> EnsembleDB (host)
   5. MSC: CIFs assembled, all (or one selected) subchannels decoded via
      bucketed Viterbi, logical frames routed to MP2 / DAB+ / packet handlers
+
+Throughput architecture (round-5): the device<->host tunnel on this runtime
+charges ~0.5 s of FIXED latency per synchronization, ~5 ms/MB marginal on
+uploads and ~40-70 ms/MB on downloads — so the product path is built around
+exactly ONE sync per block:
+
+  * ``stage()`` does all host staging and enqueues the whole device graph
+    (demod + FIC + PRS + scopes + CIF assembly + every MSC bucket) without
+    waiting; all host-bound outputs are merged into a single uint8 blob
+    (floats bitcast, FIB payloads and decoded logical frames bit-packed
+    to bytes on device).
+  * ``consume()`` performs the single pull and all host parsing/routing.
+  * IQ uploads ride as raw uint8 pairs when the source can supply them
+    (``read_u8``) — 4x less upload traffic than float32 pairs, bit-identical
+    to the host-side (u8-128)/128 conversion.
+
+``MultiReceiver`` (parallel/multihost.py) batches k channels' stage() rows
+into one shared dispatch and one merged pull for the whole channel bank.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,10 +51,11 @@ from dabjax.audio.mp2 import Mp2Decoder
 from dabjax.audio.mp4 import SuperframeDecoder
 from dabjax.fic.fib import EnsembleDB
 from dabjax.fic.fic_decoder import decode_fic
-from dabjax.iq import device_complex, pack_iq, unpack_iq
+from dabjax.iq import pack_iq, unpack_iq
 from dabjax.msc.cif import cifs_from_soft
 from dabjax.msc.deinterleave import HISTORY
-from dabjax.msc.subchannel import EnsembleDecoder, SubchGeometry
+from dabjax.msc.subchannel import (EnsembleDecoder, SubchGeometry,
+                                   pack_bits_u8)
 from dabjax.ofdm import acquisition, demod
 from dabjax.runtime.config import ReceiverConfig
 from dabjax.runtime.metrics import Metrics
@@ -91,6 +111,9 @@ class AudioService:
         self._pcm_dump_path = _per_subch_path(pcm_dump_path, subch_id)
         self._pcm_sink = None
         self.pcm: List[np.ndarray] = []
+        #: accumulated host wall-seconds spent decoding this service —
+        #: the bench's audio-plane attribution (VERDICT r4 next #5)
+        self.decode_seconds = 0.0
 
     def _emit_pcm(self, pcm: np.ndarray, rate: int):
         self.pcm.append(pcm)
@@ -109,9 +132,21 @@ class AudioService:
         return self.pad.mot.objects
 
     def add_logical_frame(self, bits: np.ndarray):
-        data = np.packbits(np.asarray(bits, np.uint8))
+        """Bit-vector entry point (tests / external callers)."""
+        self.add_frame_bytes(np.packbits(np.asarray(bits, np.uint8)))
+
+    def add_frame_bytes(self, data: np.ndarray):
+        """Byte entry point — the receiver fast path (frames arrive
+        already bit-packed from the device)."""
+        import time
+        t0 = time.perf_counter()
+        try:
+            self._add_frame_bytes(data)
+        finally:
+            self.decode_seconds += time.perf_counter() - t0
+
+    def _add_frame_bytes(self, data: np.ndarray):
         if self.is_dab_plus:
-            pre_ok = self.superframe.superframes_ok
             aus = self.superframe.add_frame(data)
             for au in aus:
                 if au.crc_ok:
@@ -136,6 +171,17 @@ class AudioService:
                 self._emit_pcm(pcm, self.mp2.sample_rate)
             self.metrics.mp2_frames_ok = self.mp2.frames_ok
             self.metrics.mp2_frames_bad = self.mp2.frames_bad
+
+
+@dataclasses.dataclass
+class _Blk:
+    """One staged block: the un-pulled merged device blob + its layout."""
+    F: int
+    merged: object                      # device uint8 [total]
+    n_taps: int                         # float32 count at blob head
+    n_fib: int
+    buckets: List[Tuple]                # [(geoms, dev_shape)]
+    warmup: int
 
 
 class Receiver:
@@ -166,7 +212,8 @@ class Receiver:
         self.data_handlers: Dict[int, object] = {}
         self._audio_pools: Dict[int, object] = {}
         self._audio_futs: List[object] = []
-        self._buf = np.zeros(0, np.complex64)
+        self._u8 = callable(getattr(source, "read_u8", None))
+        self._buf = self._empty_buf()
         self._buf_base = 0          # absolute index of _buf[0]
         self._u0: Optional[float] = None  # absolute PRS-useful-start index
         # tracked rx samples per frame: T_F plus the sample-clock drift
@@ -178,12 +225,17 @@ class Receiver:
         self._decoder: Optional[EnsembleDecoder] = None
         self._decoder_key = None
         self._bad_blocks = 0        # consecutive blocks with zero FIC CRCs
+        self._fib_seen: set = set()   # recently parsed FIB payloads
         self._unsupported_warned: set = set()
         self._iq_dump = None
         if self.cfg.dump_iq_path:
             from dabjax.io.iq_dump import IqDumpWriter
             self._iq_dump = IqDumpWriter(self.cfg.dump_iq_path)
         self._block_fn = self._build_block_fn()
+
+    def _empty_buf(self) -> np.ndarray:
+        return (np.zeros((0, 2), np.uint8) if self._u8
+                else np.zeros(0, np.complex64))
 
     def reset(self, source=None) -> None:
         """Retune: clear all stream/ensemble state but keep the compiled
@@ -192,13 +244,15 @@ class Receiver:
         processor chain)."""
         if source is not None:
             self.source = source
+            self._u8 = callable(getattr(source, "read_u8", None))
+            self._block_fn = self._build_block_fn()
         self.db = EnsembleDB()
         self.metrics = Metrics()
         self.audio = {}
         self._drain_audio()
         self._audio_pools = {}
         self.data_handlers = {}
-        self._buf = np.zeros(0, np.complex64)
+        self._buf = self._empty_buf()
         self._buf_base = 0
         self._u0 = None
         self._frame_len = float(self.p.T_F)
@@ -208,17 +262,18 @@ class Receiver:
         self._decoder = None
         self._decoder_key = None
         self._bad_blocks = 0
+        self._fib_seen = set()
         self._unsupported_warned = set()
 
     # ------------------------------------------------------------- device
 
     def _build_block_fn(self):
+        kind = "u8" if self._u8 else "f32"
         if self.mesh is None:
             # single-chip: one compiled block per mode, shared process-wide
             # (8 concurrent channel receivers compile once, not 8 times)
-            return _block_fn_cached(self.cfg.mode)
-        return _build_block_fn_for(self.p, self.mesh)
-
+            return _block_fn_cached(self.cfg.mode, kind)
+        return _build_block_fn_for(self.p, self.mesh, kind)
 
     # --------------------------------------------------------------- I/O
 
@@ -226,7 +281,8 @@ class Receiver:
         """Grow the buffer to cover absolute sample index < abs_end."""
         need = abs_end - (self._buf_base + self._buf.shape[0])
         if need > 0:
-            chunk = self.source.read(int(need))
+            chunk = (self.source.read_u8(int(need)) if self._u8
+                     else self.source.read(int(need)))
             if chunk.shape[0] < need:
                 if chunk.shape[0]:
                     self._buf = np.concatenate([self._buf, chunk])
@@ -242,6 +298,14 @@ class Receiver:
             self._buf = self._buf[cut:]
             self._buf_base += cut
 
+    def _cx(self, lo: int, hi: int) -> np.ndarray:
+        """Buffer slice as complex64 (identical to the classic u8 source
+        conversion: (x-128)/128, rawfiles.cpp:140-147)."""
+        if not self._u8:
+            return self._buf[lo:hi]
+        x = (self._buf[lo:hi].astype(np.float32) - 128.0) / 128.0
+        return (x[:, 0] + 1j * x[:, 1]).astype(np.complex64)
+
     # ---------------------------------------------------------- acquire
 
     def acquire(self) -> bool:
@@ -250,7 +314,8 @@ class Receiver:
             if not self._ensure(self._buf_base + 2 * p.T_F + p.T_null
                                 + p.T_u):
                 return False
-            u0 = acquisition.acquire(self._buf, p, self.cfg.sync_threshold)
+            u0 = acquisition.acquire(self._cx(0, self._buf.shape[0]), p,
+                                     self.cfg.sync_threshold)
             if u0 is not None:
                 self._u0 = float(self._buf_base + int(u0))
                 self._probe_frame_len()
@@ -266,13 +331,14 @@ class Receiver:
         gathered on the drifted grid (a +-100 ppm clock moves the PRS by
         ~20 samples/frame in Mode I — beyond T_g within one 96-frame block
         if uncorrected).  Refined every block by the per-frame fit in
-        step(); ref: ofdm-processor.cpp:344-380."""
+        consume(); ref: ofdm-processor.cpp:344-380."""
         p = self.p
         k = 8
         if not self._ensure(int(self._u0) + k * p.T_F + p.T_u):
             return
         base = int(self._u0) - self._buf_base + k * p.T_F
-        win = self._buf[base: base + p.T_u]
+        win = self._cx(base, base + p.T_u)
+        from dabjax.iq import device_complex
         start, ok = acquisition.prs_sync(
             device_complex(win[None, :]), p, self.cfg.sync_threshold)
         if not float(np.asarray(ok)[0]):
@@ -282,17 +348,16 @@ class Receiver:
         if abs(d) <= p.T_g:
             self._frame_len = p.T_F + d / k
 
-    # -------------------------------------------------------------- step
+    # -------------------------------------------------------------- stage
 
-    def step(self) -> bool:
-        """Process one block of cfg.frames_per_block frames.
-
-        Returns False when the source is exhausted.
-        """
+    def stage(self) -> Optional[_Blk]:
+        """Host staging + the ENTIRE device dispatch for one block; no
+        device synchronization happens here.  Returns None when the source
+        is exhausted."""
         p = self.p
         F = self.cfg.frames_per_block
         if self._u0 is None and not self.acquire():
-            return False
+            return None
         need = demod.min_frame_samples(p)
         # per-frame gather positions on the drifted sample grid: frame f
         # starts frame_len (not T_F) rx samples after frame f-1
@@ -300,25 +365,81 @@ class Receiver:
                        + np.arange(F) * self._frame_len).astype(np.int64)
         end = int(pos[-1]) + need
         if not self._ensure(end):
-            return False
+            return None
         base = pos - self._buf_base
-        rows = np.stack([self._buf[b: b + need] for b in base])
-        if self._iq_dump is not None:        # raw-IQ tap at pipeline input
-            self._iq_dump.write(self._buf[base[0]: base[0] + F * p.T_F])
+        with self.profiler.stage("stage_host", items=F * p.T_F):
+            rows = np.stack([self._buf[b: b + need] for b in base])
+            if self._iq_dump is not None:    # raw-IQ tap at pipeline input
+                self._iq_dump.write(self._cx(int(base[0]),
+                                             int(base[0]) + F * p.T_F))
+            rows_dev = (jnp.asarray(rows) if self._u8
+                        else jnp.asarray(pack_iq(rows)))
+            coarse = jnp.full((F,), np.float32(self._coarse_hz))
+            cifs, blob = self._block_fn(rows_dev, coarse)
 
-        with self.profiler.stage("device_block", items=F * p.T_F):
-            cifs, packed = self._block_fn(
-                jnp.asarray(pack_iq(rows)), jnp.float32(self._coarse_hz))
-            packed = np.asarray(packed)      # the ONE host pull per block
-        # unpack by static offsets (see _build_block_fn_for's layout)
+        # ----- MSC buckets (skipped entirely in FIC-only use — e.g. the
+        # band scan only needs the ensemble DB, msc-handler stays cold)
+        buckets: List[Tuple] = []
+        warmup = 0
+        if self.cfg.decode_audio or self.cfg.decode_data:
+            geoms = self._geometries()
+            if geoms:
+                key = tuple(sorted((g.subch_id,) + g.shape_key
+                                   + (g.start_addr,) for g in geoms))
+                if key != self._decoder_key:
+                    self._decoder = EnsembleDecoder(geoms, p,
+                                                    mesh=self.mesh)
+                    self._decoder_key = key
+                block_cifs = jnp.concatenate([self._cif_hist, cifs],
+                                             axis=0)
+                warmup = max(0, HISTORY - self._hist_valid)
+                buckets = self._decoder.dispatch(block_cifs)
+            self._push_history(cifs)
+
+        parts = [blob] + [dev.ravel() for (_, dev) in buckets]
+        merged = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         from dabjax.fic.fic_decoder import fic_codewords_per_frame, \
             fic_profile
         n_fib = fic_codewords_per_frame(p) * fic_profile(p)[2]
+        n_taps = 5 * F + F * n_fib + p.T_u + 2 * p.K
+        blk = _Blk(F=F, merged=merged, n_taps=n_taps, n_fib=n_fib,
+                   buckets=[(geoms_b, tuple(dev.shape))
+                            for (geoms_b, dev) in buckets],
+                   warmup=warmup)
+        # advance to the next block now (predictive); consume() applies the
+        # measured intercept/slope corrections before the next stage()
+        self._u0 += F * self._frame_len
+        self._drop_before(int(self._u0) - p.T_u)
+        return blk
+
+    # ------------------------------------------------------------ consume
+
+    def consume(self, blk: _Blk, big: Optional[np.ndarray] = None) -> None:
+        """Pull the block's merged blob (the ONE device sync) and do every
+        piece of host processing: metrics, timing corrections, FIB parse,
+        logical-frame routing.  ``big`` may be supplied by a MultiReceiver
+        that pulled a whole channel bank in one sync."""
+        p = self.p
+        F = blk.F
+        if big is None:
+            with self.profiler.stage("pull", items=F * p.T_F):
+                big = np.asarray(blk.merged)
+        with self.profiler.stage("consume_host", items=F * p.T_F):
+            self._consume_parsed(blk, big)
+
+    def _consume_parsed(self, blk: _Blk, big: np.ndarray) -> None:
+        p = self.p
+        F = blk.F
+        # frombuffer-of-copy instead of .view: a MultiReceiver hands each
+        # channel an arbitrary-offset slice of the bank blob, which may
+        # not be 4-byte aligned
+        taps = np.frombuffer(big[: 4 * blk.n_taps].tobytes(), np.float32)
+        off = 4 * blk.n_taps
         pos = 0
 
         def take(n, shape=None):
             nonlocal pos
-            v = packed[pos: pos + n]
+            v = taps[pos: pos + n]
             pos += n
             return v if shape is None else v.reshape(shape)
 
@@ -327,10 +448,12 @@ class Receiver:
         coarse = take(F)
         t_off = take(F)
         t_ok = take(F)
-        fic_ok = take(F * n_fib, (F, n_fib))
-        fibs_np = take(F * n_fib * 256, (F, n_fib, 256)).astype(np.int32)
+        fic_ok = take(F * blk.n_fib, (F, blk.n_fib))
         spectrum = take(p.T_u)
         constel = take(2 * p.K)
+        fib_sz = F * blk.n_fib * 30
+        fib_bytes = big[off: off + fib_sz].reshape(F, blk.n_fib, 30)
+        off += fib_sz
         # scope taps (SURVEY.md §2.4: spectrum waterfall + IQ display)
         self.metrics.spectrum = spectrum
         k = self.p.K
@@ -340,10 +463,10 @@ class Receiver:
         # ----- metrics + correctors
         self.metrics.frames += F
         self.metrics.samples_processed += F * p.T_F
-        self.metrics.snr_db = float(np.mean(np.asarray(snr)))
-        self.metrics.fine_cfo_hz = float(np.mean(np.asarray(fine)))
+        self.metrics.snr_db = float(np.mean(snr))
+        self.metrics.fine_cfo_hz = float(np.mean(fine))
         if self.cfg.coarse_cfo:
-            step = float(np.median(np.asarray(coarse))) * p.carrier_diff
+            step = float(np.median(coarse)) * p.carrier_diff
             self._coarse_hz += step
             if abs(self._coarse_hz) > self.cfg.max_coarse_khz * 1000:
                 self._coarse_hz = 0.0
@@ -353,32 +476,36 @@ class Receiver:
         # length (the per-frame resync + avgTokenLength pair,
         # ofdm-processor.cpp:344-380).  Only in-guard measurements from
         # strong correlations steer the clock.
-        off = np.asarray(t_off).astype(np.int64)
-        off = (off + p.T_u // 2) % p.T_u - p.T_u // 2
-        good = (np.asarray(t_ok) > 0) & (np.abs(off) <= p.T_g)
+        offv = t_off.astype(np.int64)
+        offv = (offv + p.T_u // 2) % p.T_u - p.T_u // 2
+        good = (t_ok > 0) & (np.abs(offv) <= p.T_g)
         if good.sum() >= 2:
             slope, intercept = np.polyfit(
-                np.arange(F)[good], off[good].astype(np.float64), 1)
+                np.arange(F)[good], offv[good].astype(np.float64), 1)
             self._u0 += float(np.clip(intercept, -p.T_g, p.T_g))
             self._frame_len = float(np.clip(
                 self._frame_len + slope,
                 p.T_F * (1 - 3e-4), p.T_F * (1 + 3e-4)))
         elif good.any():
-            self._u0 += int(off[np.argmax(good)])
+            self._u0 += int(offv[np.argmax(good)])
         self.metrics.avg_frame_len = (
             self._frame_len if self.metrics.avg_frame_len == 0.0
             else 0.9 * self.metrics.avg_frame_len + 0.1 * self._frame_len)
 
-        # ----- FIC -> ensemble database
-        block_ok = 0
-        for f in range(F):
-            for i in range(fibs_np.shape[1]):
-                if fic_ok[f, i]:
-                    self.metrics.fic_crc_ok += 1
-                    block_ok += 1
-                    self.db.process_fib_bits(fibs_np[f, i])
-                else:
-                    self.metrics.fic_crc_bad += 1
+        # ----- FIC -> ensemble database.  Identical FIB payloads repeat
+        # every MCI cycle; parse each distinct payload once (the CRC gate
+        # already ran on device; signalling is declarative/idempotent).
+        ok_mask = fic_ok > 0
+        block_ok = int(ok_mask.sum())
+        self.metrics.fic_crc_ok += block_ok
+        self.metrics.fic_crc_bad += int(ok_mask.size - block_ok)
+        if len(self._fib_seen) > 8192:
+            self._fib_seen = set()
+        for f, i in zip(*np.nonzero(ok_mask)):
+            payload = fib_bytes[f, i].tobytes()
+            if payload not in self._fib_seen:
+                self._fib_seen.add(payload)
+                self.db.process_fib_bytes(payload)
 
         # ----- failure detection: sync loss -> full re-acquisition (the
         # notSynced fallback, ofdm-processor.cpp:310-316; SURVEY.md §5)
@@ -391,18 +518,29 @@ class Receiver:
                 self.metrics.synced = False
                 self.metrics.resyncs += 1
                 self._hist_valid = 0
-                return True
+                return
         else:
             self._bad_blocks = 0
 
-        # ----- MSC (skipped entirely in FIC-only use — e.g. the band scan
-        # only needs the ensemble DB, msc-handler stays cold)
-        if self.cfg.decode_audio or self.cfg.decode_data:
-            with self.profiler.stage("msc", items=F * p.T_F):
-                self._process_cifs(cifs)    # device-resident throughout
+        # ----- MSC routing (bytes straight from the device bit-packing)
+        for geoms, shape in blk.buckets:
+            nbytes = int(np.prod(shape))
+            arr = big[off: off + nbytes].reshape(shape)
+            off += nbytes
+            for i, g in enumerate(geoms):   # enumerate trims mesh pad rows
+                self._route_rows(g.subch_id, arr[i], blk.warmup)
 
-        self._u0 += F * self._frame_len
-        self._drop_before(int(self._u0) - p.T_u)
+    # --------------------------------------------------------------- step
+
+    def step(self) -> bool:
+        """Process one block of cfg.frames_per_block frames.
+
+        Returns False when the source is exhausted.
+        """
+        blk = self.stage()
+        if blk is None:
+            return False
+        self.consume(blk)
         return True
 
     # --------------------------------------------------------------- MSC
@@ -441,28 +579,6 @@ class Receiver:
                     geoms.append(g)
         return geoms
 
-    def _process_cifs(self, cifs):
-        """``cifs`` is a device array [n, CIF_BITS]; the history window
-        and bucket decode stay on device — only decoded logical-frame
-        bits cross to the host, at the CRC-gated routing boundary."""
-        geoms = self._geometries()
-        if not geoms:
-            # still waiting for FIG 0/1; keep rolling history
-            self._push_history(cifs)
-            return
-        key = tuple(sorted((g.subch_id,) + g.shape_key + (g.start_addr,)
-                           for g in geoms))
-        if key != self._decoder_key:
-            self._decoder = EnsembleDecoder(geoms, self.p, mesh=self.mesh)
-            self._decoder_key = key
-        block = jnp.concatenate([self._cif_hist, cifs], axis=0)
-        out = self._decoder.decode(block)
-        warmup = max(0, HISTORY - self._hist_valid)
-        for subch_id, frames in out.items():
-            for t in range(warmup, frames.shape[0]):
-                self._route(subch_id, frames[t])
-        self._push_history(cifs)
-
     def _push_history(self, cifs):
         joined = jnp.concatenate([self._cif_hist, cifs], axis=0)
         self._cif_hist = joined[-HISTORY:]
@@ -479,33 +595,47 @@ class Receiver:
                 return d
         return None
 
-    def _submit_audio(self, svc: AudioService, bits: np.ndarray):
-        """Feed one logical frame to a service — on its worker thread
-        when async_audio is set (per-service single-thread executors keep
-        frame order; host audio decode then overlaps the next block's
+    def _submit_audio_rows(self, svc: AudioService, rows: List[np.ndarray]):
+        """Feed a block's logical frames to a service — on its worker
+        thread when async_audio is set (per-service single-thread executors
+        keep frame order; host audio decode then overlaps the next block's
         device work, the reference's audio-thread topology), inline
-        otherwise."""
+        otherwise.  One task per (service, block): far fewer
+        submissions/GIL transitions than one per frame."""
         if not self.cfg.async_audio:
-            svc.add_logical_frame(bits)
+            for r in rows:
+                svc.add_frame_bytes(r)
             return
         pool = self._audio_pools.get(svc.subch_id)
         if pool is None:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=1)
             self._audio_pools[svc.subch_id] = pool
-        self._audio_futs.append(pool.submit(svc.add_logical_frame, bits))
+
+        def work(svc=svc, rows=rows):
+            for r in rows:
+                svc.add_frame_bytes(r)
+
+        self._audio_futs.append(pool.submit(work))
 
     def _drain_audio(self):
         for f in self._audio_futs:
             f.result()                   # surfaces worker exceptions too
         self._audio_futs.clear()
 
-    def _route(self, subch_id: int, bits: np.ndarray):
+    def _route_rows(self, subch_id: int, frames: np.ndarray, warmup: int):
+        """Route a block's decoded logical frames (byte rows) for one
+        subchannel to its audio/data handler."""
+        rows = [frames[t] for t in range(warmup, frames.shape[0])]
+        if not rows:
+            return
         if subch_id in self.audio:
-            self._submit_audio(self.audio[subch_id], bits)
+            self._submit_audio_rows(self.audio[subch_id], rows)
             return
         if subch_id in self.data_handlers:
-            self.data_handlers[subch_id].add_logical_frame(bits)
+            h = self.data_handlers[subch_id]
+            for r in rows:
+                h.add_logical_frame(np.unpackbits(r))
             return
         meta = self._audio_meta(subch_id)
         if meta is not None and self.cfg.decode_audio:
@@ -513,13 +643,14 @@ class Receiver:
                 subch_id, meta.bitrate, meta.is_dab_plus, self.metrics,
                 es_dump_path=self.cfg.dump_es_path,
                 pcm_dump_path=self.cfg.dump_audio_path)
-            self._submit_audio(self.audio[subch_id], bits)
+            self._submit_audio_rows(self.audio[subch_id], rows)
             return
         if self.cfg.decode_data and self.data_handler_factory is not None:
             h = self.data_handler_factory(self.db, subch_id)
             if h is not None:
                 self.data_handlers[subch_id] = h
-                h.add_logical_frame(bits)
+                for r in rows:
+                    h.add_logical_frame(np.unpackbits(r))
 
     # ---------------------------------------------------------------- run
 
@@ -540,20 +671,32 @@ class Receiver:
             self._iq_dump = None
 
 
-def _build_block_fn_for(p, mesh):
+def _build_block_fn_for(p, mesh, kind: str = "f32"):
     """The per-block device graph: CFO -> demod -> FIC -> PRS timing ->
     scopes -> CIF assembly, one jitted program (sharded over ``mesh``
-    frames when given)."""
+    frames when given).
+
+    ``kind``: "f32" takes float (re,im) pairs; "u8" takes raw uint8 IQ
+    pairs and applies the classic (x-128)/128 conversion on device
+    (bit-identical to the host conversion, 4x less upload traffic).
+    Returns ``(cifs, blob)`` where blob is ONE uint8 vector holding every
+    host-bound tap: float taps bitcast to bytes, then the CRC-gated FIB
+    payloads bit-packed to 30-byte rows.
+    """
 
     def block(rows, coarse_hz):
-        rows = unpack_iq(rows)
+        if kind == "u8":
+            x = (rows.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+            rows = jax.lax.complex(x[..., 0], x[..., 1])
+        else:
+            rows = unpack_iq(rows)
         # fine CFO is measured on the uncorrected rows: the coarse part
         # is an integer number of carrier spacings, which contributes an
         # exact multiple of 2*pi to the guard-correlation angle and so
         # cancels from the estimate — one fused rotation replaces the
         # two full passes over the block.
         fine = demod.fine_cfo_estimate(rows, p)
-        cfo = fine + jnp.broadcast_to(coarse_hz, rows.shape[:1])
+        cfo = fine + coarse_hz
         soft, spec0 = demod.demodulate_frames_cfo(rows, cfo, p)
         # only the PRS windows need an explicitly rotated time-domain
         # copy (T_u of ~155k samples per row — the full-stream rotation
@@ -577,22 +720,23 @@ def _build_block_fn_for(p, mesh):
         # FIC constellation tap leaves the device.
         cifs = cifs_from_soft(soft, p)
         constel = soft[0, p.fic_symbols, :]   # first data symbol
-        # pack every host-bound tap into ONE f32 vector: the tunnel
-        # runtime charges 30-120 ms of latency per device->host pull,
-        # so ten separate np.asarray calls would dominate the whole
-        # receiver step (all values are small integers or f32 — exact)
-        packed = jnp.concatenate([
+        # every host-bound tap rides in ONE uint8 vector -> ONE pull:
+        # the tunnel runtime charges ~0.5 s fixed latency per sync
+        taps = jnp.concatenate([
             snr.astype(jnp.float32).ravel(),
             fine.astype(jnp.float32).ravel(),
             coarse.astype(jnp.float32).ravel(),
             t_off.astype(jnp.float32).ravel(),
             t_ok.astype(jnp.float32).ravel(),
             fic_ok.astype(jnp.float32).ravel(),
-            fibs.astype(jnp.float32).ravel(),
             spectrum.astype(jnp.float32).ravel(),
             constel.astype(jnp.float32).ravel(),
         ])
-        return cifs, packed
+        fib_bytes = pack_bits_u8(fibs[..., :240])     # [F, n_fib, 30]
+        blob = jnp.concatenate([
+            jax.lax.bitcast_convert_type(taps, jnp.uint8).ravel(),
+            fib_bytes.ravel()])
+        return cifs, blob
 
     if mesh is not None:
         # product SPMD path: frames over every mesh device; the whole
@@ -602,11 +746,11 @@ def _build_block_fn_for(p, mesh):
         from jax.sharding import NamedSharding, PartitionSpec as P
         axes = tuple(mesh.axis_names)
         rows_sh = NamedSharding(mesh, P(axes, None, None))
-        rep = NamedSharding(mesh, P())
-        return jax.jit(block, in_shardings=(rows_sh, rep))
+        coarse_sh = NamedSharding(mesh, P(axes))
+        return jax.jit(block, in_shardings=(rows_sh, coarse_sh))
     return jax.jit(block)
 
 
 @functools.lru_cache(maxsize=None)
-def _block_fn_cached(mode: int):
-    return _build_block_fn_for(get_mode(mode), None)
+def _block_fn_cached(mode: int, kind: str):
+    return _build_block_fn_for(get_mode(mode), None, kind)
