@@ -122,14 +122,22 @@ def cmd_info(args) -> int:
     r = _build_receiver(args)
     if getattr(args, "watch", 0):
         # live dashboard: re-run block batches and redraw (the
-        # scope/waterfall loop of the reference GUI, scope.cpp)
+        # scope/waterfall loop of the reference GUI, scope.cpp); the
+        # waterfall panel keeps the last 12 block spectra (scope.cpp:384
+        # scrolling history)
+        from collections import deque
+        from dabjax.runtime.scopes import render_waterfall
+        history = deque(maxlen=12)
         for i in range(args.watch):
             r.run(1)
             print(f"\x1b[2J\x1b[H[block {i + 1}/{args.watch}]")
             if r.metrics.synced:
+                history.append(np.asarray(r.metrics.spectrum))
                 _print_db(r)
                 if args.scope:
                     _print_scopes(r)
+                    print("waterfall (oldest on top):")
+                    print(render_waterfall(history))
             else:
                 print("searching for DAB signal ...")
         return 0 if r.metrics.synced else 1
@@ -141,6 +149,23 @@ def cmd_info(args) -> int:
     if getattr(args, "scope", False):
         _print_scopes(r)
     return 0
+
+
+def _spawn_player(cmd_override=None):
+    """Live audio out: spawn a PCM player (the PortAudio callback sink
+    analog, audiosink.cpp:129-220) reading S16LE 48 kHz stereo on stdin."""
+    import shutil
+    import subprocess
+    if cmd_override:
+        cmd = cmd_override.split()
+    elif shutil.which("aplay"):
+        cmd = ["aplay", "-q", "-f", "S16_LE", "-r", "48000", "-c", "2"]
+    elif shutil.which("ffplay"):
+        cmd = ["ffplay", "-nodisp", "-autoexit", "-loglevel", "quiet",
+               "-f", "s16le", "-ar", "48000", "-ac", "2", "-"]
+    else:
+        return None
+    return subprocess.Popen(cmd, stdin=subprocess.PIPE)
 
 
 def cmd_decode(args) -> int:
@@ -162,6 +187,20 @@ def cmd_decode(args) -> int:
                     else aac_rate(svc.superframe.header.dac_rate,
                                   svc.superframe.header.sbr_flag))
             out = args.out or "audio.wav"
+            if getattr(args, "play", False):
+                from dabjax.io.audio_out import PcmPipeSink
+                proc = _spawn_player(getattr(args, "player", None))
+                if proc is None:
+                    print("no audio player found (aplay/ffplay); "
+                          "use --player CMD or --out", file=info)
+                else:
+                    w = PcmPipeSink(proc.stdin)
+                    w.write(np.concatenate(svc.pcm), rate)
+                    proc.stdin.close()
+                    proc.wait()
+                    print(f"subch {subch_id}: played {w.frames_written} "
+                          "PCM frames", file=info)
+                continue
             if out == "-":                 # live: raw PCM to stdout (aplay)
                 from dabjax.io.audio_out import PcmPipeSink
                 w = PcmPipeSink(sys.stdout.buffer)
@@ -281,6 +320,10 @@ def main(argv=None) -> int:
     p.add_argument("--service", default=None,
                    help="service label (default: all)")
     p.add_argument("--out", default=None, help="output WAV/AU path")
+    p.add_argument("--play", action="store_true",
+                   help="play decoded audio live (spawns aplay/ffplay)")
+    p.add_argument("--player", default=None, metavar="CMD",
+                   help="player command reading S16LE 48k stereo on stdin")
     p.add_argument("--blocks", type=int, default=16)
     p.add_argument("--json", action="store_true",
                    help="print metrics as JSON")

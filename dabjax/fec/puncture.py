@@ -261,6 +261,13 @@ def depuncture_profile(soft, lengths, pis):
     every output position receives exactly one kept value or an exact
     zero, so the result is bit-identical.  Trailing entries of ``soft``
     beyond the profile's transmitted length (UEP padding) are ignored.
+
+    CONTRACT: callers must feed integer-valued soft bits with |x| <= 127
+    (demod's rounded convention) — the DEFAULT-precision dot below is
+    exact only under that range (see comment).  Scaled or unrounded
+    inputs would silently lose the bit-exact guarantee on TPU (CPU runs
+    full precision, so CI would not trip).  On-hardware spot check:
+    ``python tools/tpu_spot_checks.py depuncture`` (ADVICE r4).
     """
     import jax
     import jax.numpy as jnp

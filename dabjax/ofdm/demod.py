@@ -103,26 +103,9 @@ def demodulate_frames_cfo(samples: jnp.ndarray, cfo_hz: jnp.ndarray,
     cr, ci = jnp.cos(ang)[:, None, :], jnp.sin(ang)[:, None, :]
     wr, wi = wr * cr - wi * ci, wr * ci + wi * cr
     if jax.default_backend() == "cpu":
-        # tests / no-MXU path: native FFT + de-interleave gather
-        spec = jnp.fft.fft(jax.lax.complex(wr, wi), axis=-1)
-        cb = jnp.asarray(tables.carrier_bins(p.mode, T_u, K))
-        sre = jnp.real(spec)[:, :, cb]                    # [F, L, K]
-        sim = jnp.imag(spec)[:, :, cb]
-        spec0 = spec[:, 0, :]
+        sre, sim, spec0 = _demod_spectra_fft(wr, wi, p)
     else:
-        # one fused DFT+de-interleave matmul pair on the MXU.  Default
-        # (single-pass bf16) precision: products carry ~2^-9 relative
-        # rounding which accumulates incoherently over the 2048-term
-        # dot while the signal bin accumulates coherently — an added
-        # noise floor ~54 dB below the symbol, far inside the DQPSK
-        # decision margin (correctness is asserted bit-exactly after
-        # the CRC gates, never on float soft bits — CLAUDE.md).
-        Wr, Wi = map(jnp.asarray, _dft_select_plan(p.mode, T_u, K))
-        dot = functools.partial(jnp.einsum, "flt,tk->flk")
-        sre = dot(wr, Wr) - dot(wi, Wi)                   # [F, L, K]
-        sim = dot(wr, Wi) + dot(wi, Wr)
-        s0r, s0i = fft.mxu_fft_ri(wr[:, 0], wi[:, 0])     # PRS spectrum
-        spec0 = jax.lax.complex(s0r, s0i)
+        sre, sim, spec0 = _demod_spectra_matmul(wr, wi, p)
     # r1 = F_l * conj(F_{l-1}) per active carrier
     r1re = sre[:, 1:] * sre[:, :-1] + sim[:, 1:] * sim[:, :-1]
     r1im = sim[:, 1:] * sre[:, :-1] - sre[:, 1:] * sim[:, :-1]
@@ -142,6 +125,37 @@ def demodulate_frames_cfo(samples: jnp.ndarray, cfo_hz: jnp.ndarray,
     # bf16 MXU pass (viterbi_pallas.py).
     soft = jnp.round(soft).astype(jnp.float32)
     return soft, spec0
+
+
+def _demod_spectra_fft(wr, wi, p):
+    """Tests / no-MXU path: native FFT + de-interleave gather."""
+    T_u, K = p.T_u, p.K
+    spec = jnp.fft.fft(jax.lax.complex(wr, wi), axis=-1)
+    cb = jnp.asarray(tables.carrier_bins(p.mode, T_u, K))
+    sre = jnp.real(spec)[:, :, cb]                    # [F, L, K]
+    sim = jnp.imag(spec)[:, :, cb]
+    return sre, sim, spec[:, 0, :]
+
+
+def _demod_spectra_matmul(wr, wi, p):
+    """One fused DFT+de-interleave matmul pair on the MXU.  Default
+    (single-pass bf16) precision: products carry ~2^-9 relative
+    rounding which accumulates incoherently over the 2048-term
+    dot while the signal bin accumulates coherently — an added
+    noise floor ~54 dB below the symbol, far inside the DQPSK
+    decision margin (correctness is asserted bit-exactly after
+    the CRC gates, never on float soft bits — CLAUDE.md).
+
+    Factored out of the backend branch so the TPU algebra is CI-covered
+    on CPU (tests/test_msc_e2e.py::test_matmul_demod_matches_fft_path;
+    ADVICE r4)."""
+    T_u, K = p.T_u, p.K
+    Wr, Wi = map(jnp.asarray, _dft_select_plan(p.mode, T_u, K))
+    dot = functools.partial(jnp.einsum, "flt,tk->flk")
+    sre = dot(wr, Wr) - dot(wi, Wi)                   # [F, L, K]
+    sim = dot(wr, Wi) + dot(wi, Wr)
+    s0r, s0i = fft.mxu_fft_ri(wr[:, 0], wi[:, 0])     # PRS spectrum
+    return sre, sim, jax.lax.complex(s0r, s0i)
 
 
 def snr_estimate(spectrum0: jnp.ndarray, p: DabParams) -> jnp.ndarray:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["render_spectrum", "render_constellation"]
+__all__ = ["render_spectrum", "render_constellation", "render_waterfall"]
 
 _BARS = " ▁▂▃▄▅▆▇█"
 
@@ -46,6 +46,37 @@ def render_spectrum(spectrum: np.ndarray, width: int = 78,
     lo = -width // 2
     label = f"{lo} bins".ljust(width // 2) + f"+{width + lo} bins"
     rows.append(label[:width])
+    return "\n".join(rows)
+
+
+def render_waterfall(history, width: int = 78,
+                     floor_db: float = -50.0) -> str:
+    """Scrolling spectrum history (newest row at the bottom).
+
+    ``history``: iterable of magnitude-spectrum taps, oldest first — the
+    time-history panel of the reference's scope widget (scope.cpp:384
+    region keeps a scrolling waterfall under the live spectrum).  Each
+    row is one block's spectrum rendered as intensity shades on the same
+    dB scale as :func:`render_spectrum`.
+    """
+    shades = " .:-=+*#%@"
+    rows = []
+    for spec in history:
+        spec = np.asarray(spec, np.float64)
+        if spec.size == 0 or not np.isfinite(spec).any():
+            continue
+        edges = np.linspace(0, spec.size, width + 1).astype(int)
+        cols = np.array([spec[a:b].max() if b > a else 0.0
+                         for a, b in zip(edges[:-1], edges[1:])])
+        ref = cols.max()
+        if ref <= 0:
+            continue
+        db = 20 * np.log10(np.maximum(cols / ref, 1e-12))
+        lvl = (np.clip((db - floor_db) / -floor_db, 0, 1)
+               * (len(shades) - 1)).astype(int)
+        rows.append("".join(shades[v] for v in lvl))
+    if not rows:
+        return "(no waterfall history)"
     return "\n".join(rows)
 
 

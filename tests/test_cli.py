@@ -248,3 +248,35 @@ def test_scope_renderers_standalone():
     c = render_constellation(pts)
     assert "@" in c or "#" in c
     assert "re" in c and "im" in c
+
+
+def test_waterfall_renderer_and_watch(raw_file, capsys):
+    """--watch --scope renders the scrolling waterfall history panel
+    (scope.cpp:384 waterfall analog)."""
+    from dabjax.runtime.scopes import render_waterfall
+    # standalone: 3 rows of history -> 3 shaded lines, same width
+    spec = np.abs(np.fft.fft(np.random.default_rng(0)
+                             .standard_normal(256))) + 1.0
+    txt = render_waterfall([spec, spec * 2, spec * 0.5], width=40)
+    lines = txt.splitlines()
+    assert len(lines) == 3 and all(len(l) == 40 for l in lines)
+    assert render_waterfall([]) == "(no waterfall history)"
+    rc = main(["info", raw_file, "--watch", "2", "--scope"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "waterfall (oldest on top):" in out
+
+
+def test_cli_decode_play_via_player_cmd(raw_file, capsys, tmp_path,
+                                        monkeypatch):
+    """--play spawns the player command and streams S16LE PCM into it
+    (the PortAudio live-sink analog, audiosink.cpp:129-220)."""
+    monkeypatch.chdir(tmp_path)
+    sink = tmp_path / "played.pcm"
+    rc = main(["decode", raw_file, "--service", "CLITEST", "--play",
+               "--player", f"dd of={sink} status=none", "--blocks", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "played" in out
+    data = np.frombuffer(sink.read_bytes(), "<i2")
+    assert data.size > 20000  # a meaningful run of 48 kHz stereo audio
+    assert np.abs(data).max() > 500

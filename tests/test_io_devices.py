@@ -407,3 +407,80 @@ def test_rtlsdr_fake_library_callback_path(monkeypatch):
     src.close()
     assert fake.cancelled.is_set()
     assert ("close",) in fake.calls
+
+
+def test_extio_source_protocol_with_fake_loader():
+    """ExtIO DLL-host protocol (extio-handler.cpp:150-300): init ->
+    callback registration -> open -> rate check -> LO tune -> start,
+    16-bit format decode, and read().  The DLL entry points are faked
+    (ExtIO hardware DLLs are Windows binaries); dll_loader() covers the
+    real ctypes binding path separately below."""
+    import ctypes
+
+    import numpy as np
+    from dabjax.io.extio import ExtIOSource
+
+    rate = 2_048_000
+    t = np.arange(8192)
+    tone = (0.5 * np.exp(2j * np.pi * 0.01 * t)).astype(np.complex64)
+    i16 = np.empty(2 * tone.size, np.int16)
+    i16[0::2] = np.round(tone.real * 32768).clip(-32768, 32767)
+    i16[1::2] = np.round(tone.imag * 32768).clip(-32768, 32767)
+
+    class FakeLoader:
+        def __init__(self):
+            self.cb = None
+            self.lo = None
+            self.started = self.stopped = self.closed = False
+            self.SetHWLO = self._set_hwlo
+
+        def InitHW(self, name, model, hwtype_ref):
+            name.value = b"FakeRig"
+            ctypes.cast(hwtype_ref,
+                        ctypes.POINTER(ctypes.c_int))[0] = 3  # USBdata16
+            return 1
+
+        def SetCallback(self, cb):
+            self.cb = cb
+
+        def OpenHW(self):
+            return 1
+
+        def GetHWSR(self):
+            return rate
+
+        def _set_hwlo(self, hz):
+            self.lo = int(hz.value)
+
+        def StartHW(self, hz):
+            self.started = True
+            # simulate the device thread: deliver the block via callback
+            buf = i16.tobytes()
+            self.cb(tone.size, 0, 0.0,
+                    ctypes.cast(ctypes.create_string_buffer(buf, len(buf)),
+                                ctypes.c_void_p))
+            return 1
+
+        def StopHW(self):
+            self.stopped = True
+
+        def CloseHW(self):
+            self.closed = True
+
+    fake = FakeLoader()
+    src = ExtIOSource(fake, frequency_hz=218_640_000)
+    assert src.rig_name == "FakeRig" and fake.lo == 218_640_000
+    got = src.read(4096)
+    assert got.shape == (4096,)
+    err = np.abs(got - tone[:4096])
+    assert err.max() < 1e-3          # 16-bit quantization bound
+    src.close()
+    assert fake.stopped and fake.closed
+
+
+def test_extio_dll_loader_missing_library():
+    from dabjax.io.devices import DeviceUnavailable
+    from dabjax.io.extio import dll_loader
+    import pytest
+    with pytest.raises(DeviceUnavailable):
+        dll_loader("/nonexistent/extio_fake.dll")

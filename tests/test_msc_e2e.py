@@ -145,3 +145,23 @@ def test_mode3_msc_bit_exact():
     assert out.shape == (n_frames - HISTORY, 24 * 64)
     for t in range(out.shape[0]):
         np.testing.assert_array_equal(out[t], mod.payload_bits(7, t))
+
+
+def test_matmul_demod_matches_fft_path():
+    """The TPU-only fused DFT+de-interleave matmul branch, exercised on
+    CPU at f32 against the jnp.fft reference path (ADVICE r4: a sign or
+    indexing regression in _dft_select_plan must not slip past CI)."""
+    import jax.numpy as jnp
+    from dabjax.constants import get_mode
+    from dabjax.ofdm.demod import (_demod_spectra_fft,
+                                   _demod_spectra_matmul)
+    p = get_mode(2)           # Mode II: T_u=512 keeps the dense DFT cheap
+    rng = np.random.default_rng(3)
+    F, L = 2, p.L
+    wr = jnp.asarray(rng.standard_normal((F, L, p.T_u)), jnp.float32)
+    wi = jnp.asarray(rng.standard_normal((F, L, p.T_u)), jnp.float32)
+    s1 = _demod_spectra_fft(wr, wi, p)
+    s2 = _demod_spectra_matmul(wr, wi, p)
+    for a, b in zip(s1, s2):
+        scale = float(jnp.max(jnp.abs(a)))
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-3 * scale

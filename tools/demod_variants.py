@@ -61,7 +61,9 @@ def planar_demod(p, precision, deint="gather"):
                           for l in range(1, L)], axis=1)
         c_re = jnp.sum(g_re * r_re + g_im * r_im, axis=(-2, -1))
         c_im = jnp.sum(g_im * r_re - g_re * r_im, axis=(-2, -1))
-        cfo = jnp.arctan2(c_im, c_re) / jnp.pi * (p.carrier_diff / 2.0)
+        # negative angle: matches demod.fine_cfo_estimate's sign so the
+        # correctness gate holds on nonzero-CFO inputs (ADVICE r4)
+        cfo = -jnp.arctan2(c_im, c_re) / jnp.pi * (p.carrier_diff / 2.0)
         # rotation ramp
         n = jnp.arange(re.shape[-1], dtype=jnp.float32)
         ph = (-2.0 * jnp.pi / 2_048_000.0) * cfo[:, None] * n[None, :]
