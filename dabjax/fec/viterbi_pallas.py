@@ -139,7 +139,16 @@ def _forward_kernel_lane(T2, per_step_dot: bool = False):
             pm_ref[:] = jnp.where(d1, b, a)
             d0 = jnp.where(d1, db, da)
             e = (d0 << 1) | d1.astype(jnp.int32)
-            acc = acc | (e << (2 * j))
+            # word-padding steps (pair index >= T2) must emit e = 0: their
+            # zero soft bits zero the BRANCH metrics but the ACS still
+            # compares different predecessors' PATH metrics, so decisions
+            # are data-dependent — left unmasked they walk the traceback
+            # away from state 0 before it reaches the true last step
+            # (breaks bit-exactness vs viterbi_decode_np on noise-like
+            # inputs where state 0 does not dominate; found by the r5
+            # random-input hardware spot check)
+            valid = (pl.program_id(1) * C + j) < T2
+            acc = acc | jnp.where(valid, e << (2 * j), 0)
         dec_ref[0] = acc
 
     return kernel
@@ -196,9 +205,6 @@ def _forward_kernel(T2, soft_fmt):
             m = jnp.repeat(pm_ref[:], 4, axis=0) + bm
             # radix-2-equivalent selection: inner max over d0 per d1,
             # then d1 over the maxima; all strict > so ties pick 0.
-            # Padded steps (soft = 0) tie everywhere and thus emit e = 0
-            # without an explicit mask; traceback's state walk is a
-            # no-op through them, and they are last, never re-read.
             m00, m01 = m[0:64, :], m[64:128, :]       # e=0 (d0=0,d1=0), e=1
             m10, m11 = m[128:192, :], m[192:256, :]   # e=2 (d0=1,d1=0), e=3
             a = jnp.maximum(m00, m10)                 # best with d1=0
@@ -209,7 +215,9 @@ def _forward_kernel(T2, soft_fmt):
             pm_ref[:] = jnp.where(d1, b, a)
             d0 = jnp.where(d1, db, da)
             e = (d0 << 1) | d1.astype(jnp.int32)
-            acc = acc | (e << (2 * j))
+            # mask word-padding steps to e = 0 (see _forward_kernel_lane)
+            valid = (pl.program_id(1) * C + j) < T2
+            acc = acc | jnp.where(valid, e << (2 * j), 0)
         dec_ref[0] = acc
 
     return kernel

@@ -56,3 +56,28 @@ def test_pallas_punctured_positions():
     want = viterbi_decode_np(soft, nbits)
     got = np.asarray(viterbi_decode_pallas(soft, nbits, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_pure_noise_word_padding():
+    """Pure uniform random soft input (no codeword structure): state 0
+    does not dominate the final metrics, so unmasked word-padding steps
+    would walk the traceback away from state 0 before the true last step
+    (the 62/3072-bit divergence found by the r5 hardware spot check).
+    Both lane kernel variants must stay bit-exact vs the numpy decoder."""
+    import dabjax.fec.viterbi_pallas as VP
+    rng = np.random.default_rng(1)
+    for nbits in (768, 2304):     # 13 and 6 padded pair steps
+        soft = rng.integers(-127, 128, (4, 4 * (nbits + 6))).astype(
+            np.float32)
+        want = viterbi_decode_np(soft, nbits)
+        for fmt in ("i8lane", "i8lane2"):
+            old = VP.SOFT_FMT
+            VP.SOFT_FMT = fmt
+            try:
+                VP.viterbi_decode_pallas.clear_cache()
+                VP.viterbi_forward_words.clear_cache()
+                got = np.asarray(VP.viterbi_decode_pallas(
+                    soft, nbits, interpret=True))
+            finally:
+                VP.SOFT_FMT = old
+        np.testing.assert_array_equal(got, want)
