@@ -129,26 +129,18 @@ def _forward_kernel_lane(T2, per_step_dot: bool = False):
             else:
                 bm = bm_all[:, j * B: (j + 1) * B]
             m = jnp.repeat(pm_ref[:], 4, axis=0) + bm
-            m00, m01 = m[0:64, :], m[64:128, :]
-            m10, m11 = m[128:192, :], m[192:256, :]
-            a = jnp.maximum(m00, m10)
-            da = (m10 > m00).astype(jnp.int32)
-            b = jnp.maximum(m01, m11)
-            db = (m11 > m01).astype(jnp.int32)
+            # max-tree on [128]-row tiles: one max + one cmp resolve d0
+            # for BOTH d1 halves at once (rows e=0,1 vs e=2,3 differ only
+            # in d0), halving the per-step compare/max VPU work
+            lo, hi = m[0:128, :], m[128:256, :]
+            mx = jnp.maximum(lo, hi)                  # [128, B]
+            d0_both = (hi > lo).astype(jnp.int32)     # [128, B]
+            a, b = mx[0:64, :], mx[64:128, :]         # d1 = 0 / 1 maxima
             d1 = b > a
             pm_ref[:] = jnp.where(d1, b, a)
-            d0 = jnp.where(d1, db, da)
+            d0 = jnp.where(d1, d0_both[64:128, :], d0_both[0:64, :])
             e = (d0 << 1) | d1.astype(jnp.int32)
-            # word-padding steps (pair index >= T2) must emit e = 0: their
-            # zero soft bits zero the BRANCH metrics but the ACS still
-            # compares different predecessors' PATH metrics, so decisions
-            # are data-dependent — left unmasked they walk the traceback
-            # away from state 0 before it reaches the true last step
-            # (breaks bit-exactness vs viterbi_decode_np on noise-like
-            # inputs where state 0 does not dominate; found by the r5
-            # random-input hardware spot check)
-            valid = (pl.program_id(1) * C + j) < T2
-            acc = acc | jnp.where(valid, e << (2 * j), 0)
+            acc = acc | (e << (2 * j))
         dec_ref[0] = acc
 
     return kernel
@@ -285,13 +277,15 @@ def _plan(B: int, T2: int, soft_fmt: str):
 
 # soft-input format for the forward kernel: "i8lane" packs the 16 pair
 # steps of each word along LANES and computes the word's branch metrics
-# as ONE aligned int8 x int8 -> int32 MXU dot; "i8lane2" is the same
-# layout with one aligned dot per step (no [256, C*LB] plane, so lane
-# blocks grow to 4096 — fastest measured, r5); "i8mxu" streams packed
-# int8 sublane-major with one dot per step; "i8" streams int8 but
-# computes in f32/bf16; "f32" streams float planes.  All are exact for
+# as ONE aligned int8 x int8 -> int32 MXU dot (fastest measured: the
+# kernel is VPU-issue-bound, so raising lane occupancy doesn't pay);
+# "i8lane2" is the same layout with one aligned dot per step (no
+# [256, C*LB] plane, LB up to 4096 — measured 1.6x SLOWER on v5e, the
+# 16 small dots cost more than the plane); "i8mxu" streams packed int8
+# sublane-major with one dot per step; "i8" streams int8 but computes
+# in f32/bf16; "f32" streams float planes.  All are exact for
 # integer-valued soft bits.
-SOFT_FMT = "i8lane2"
+SOFT_FMT = "i8lane"
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
@@ -336,7 +330,7 @@ def viterbi_forward_words(soft, nbits: int, interpret: bool = False):
         s = jnp.pad(s.reshape(B, Tp2, 8), ((0, Bp - B), (0, 0), (0, 0)))
         s = s.reshape(n_lb, LB, W, C, 8).transpose(2, 0, 4, 3, 1)
         s = s.reshape(W, n_lb, 8, C * LB)
-        return pl.pallas_call(
+        dec = pl.pallas_call(
             _forward_kernel_lane(T2, per_step_dot=(SOFT_FMT == "i8lane2")),
             grid=(n_lb, W),
             in_specs=[
@@ -351,6 +345,19 @@ def viterbi_forward_words(soft, nbits: int, interpret: bool = False):
             scratch_shapes=[pltpu.VMEM((64, LB), jnp.int32)],
             interpret=interpret,
         )(s, S4)
+        # word-padding steps (pair index >= T2) must read as e = 0: their
+        # zero soft bits zero the BRANCH metrics but the ACS still
+        # compares different predecessors' PATH metrics, so decisions are
+        # data-dependent — left unmasked they walk the traceback away
+        # from state 0 before it reaches the true last step (breaks
+        # bit-exactness vs viterbi_decode_np on noise-like inputs where
+        # state 0 does not dominate; found by the r5 random-input
+        # hardware spot check).  One cheap XLA mask on the LAST word
+        # keeps the per-step kernel loop free of the predicate.
+        if Tp2 != T2:
+            keep = jnp.int32((1 << (2 * (T2 - (W - 1) * C))) - 1)
+            dec = dec.at[W - 1].set(dec[W - 1] & keep)
+        return dec
 
     s = jnp.moveaxis(s.reshape(B, Tp2, 8), 0, -1)  # [Tp2, 8, B]
     s = jnp.pad(s, ((0, 0), (0, 0), (0, Bp - B)))

@@ -111,6 +111,44 @@ def pack_bits_u8(bits: jnp.ndarray) -> jnp.ndarray:
     return (x * w).sum(axis=-1).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("shape_struct",))
+def _fused_msc(hist, cifs, blob, starts, shape_struct):
+    """One jitted program for the whole per-block MSC device chain:
+    history concat -> per-bucket subchannel slicing -> decode -> bit-pack
+    -> merge with the demod/FIC blob -> new history window.
+
+    Eager ops cost ~20-40 ms EACH to dispatch on this runtime, so the
+    5-8 eager concats/stacks per channel per block that the unfused path
+    issued dominated the 8-channel bank's wall clock (r5 bank profile);
+    this replaces them all with a single cached jit call shared
+    process-wide.  Only the bucket SHAPE structure is static
+    (``shape_struct`` = ((shape_key, n_subch), ...)); the CU start
+    addresses ride as the traced ``starts`` vector — switching
+    executables per channel cost ~27% of a mixed-service scan bank's
+    wall clock on this runtime, so every channel tuning same-shaped
+    services shares one program regardless of where its subchannels sit
+    in the CIF.
+    """
+    block = jnp.concatenate([hist, cifs], axis=0)
+    T = block.shape[0]
+    parts = [blob]
+    off = 0
+    for shape_key, n_subch in shape_struct:
+        length_cus, bitrate, protection, prot_level = shape_key
+        proto = SubchGeometry(-1, 0, length_cus, bitrate, protection,
+                              prot_level)
+        slices = jnp.stack([
+            jax.lax.dynamic_slice(
+                block, (0, starts[off + i] * CU_BITS),
+                (T, length_cus * CU_BITS))
+            for i in range(n_subch)])
+        off += n_subch
+        parts.append(pack_bits_u8(
+            decode_subchannel(slices, proto)).ravel())
+    merged = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return merged, block[-HISTORY:]
+
+
 @functools.lru_cache(maxsize=None)
 def _bucket_bytes_fn_cached(key: Tuple):
     """Bucket decoder variant returning bit-PACKED logical frames (uint8):
@@ -184,6 +222,27 @@ class EnsembleDecoder:
             for i, g in enumerate(geoms):   # enumerate trims pad rows
                 out[g.subch_id] = bits_np[i]
         return out
+
+    def shape_struct(self) -> Tuple:
+        """Static bucket SHAPE description for :func:`_fused_msc`."""
+        return tuple((key, len(geoms))
+                     for key, geoms in self._buckets.items())
+
+    def fused(self, hist: jnp.ndarray, cifs: jnp.ndarray,
+              blob: jnp.ndarray) -> Tuple:
+        """Single-dispatch MSC chain (single-chip product path): returns
+        ``(merged_u8, new_hist, bucket_meta)`` where bucket_meta lists
+        (geoms, output_shape) in merge order for the host-side split."""
+        if not hasattr(self, "_starts_dev"):
+            self._starts_dev = jnp.asarray(np.array(
+                [g.start_addr for geoms in self._buckets.values()
+                 for g in geoms], np.int32))
+        merged, new_hist = _fused_msc(hist, cifs, blob, self._starts_dev,
+                                      self.shape_struct())
+        n_out = int(hist.shape[0]) + int(cifs.shape[0]) - 15
+        meta = [(geoms, (len(geoms), n_out, 3 * key[1]))
+                for key, geoms in self._buckets.items()]
+        return merged, new_hist, meta
 
     def dispatch(self, cifs: jnp.ndarray) -> List[Tuple]:
         """Product fast path: dispatch every bucket WITHOUT syncing.

@@ -44,10 +44,22 @@ class MultiReceiver:
 
     def __init__(self, sources: Dict[str, object], config=None,
                  data_handler_factory=None):
+        """``config``: one ReceiverConfig for every channel, or a
+        {channel: ReceiverConfig} dict (e.g. a scan bank tuning one
+        service per ensemble)."""
         from dabjax.runtime.receiver import Receiver
+        cfg_of = (config.get if isinstance(config, dict)
+                  else (lambda name: config))
+        self._pool = None
+        workers = max((getattr(cfg_of(n), "audio_workers", 0) or 0)
+                      for n in sources) if sources else 0
+        if workers > 0:
+            from dabjax.runtime.audio_pool import AudioWorkerPool
+            self._pool = AudioWorkerPool(workers)
         self.rx: Dict[str, object] = {
-            name: Receiver(src, config,
-                           data_handler_factory=data_handler_factory)
+            name: Receiver(src, cfg_of(name),
+                           data_handler_factory=data_handler_factory,
+                           audio_pool=self._pool)
             for name, src in sources.items()}
 
     def step(self) -> Dict[str, bool]:
@@ -81,11 +93,18 @@ class MultiReceiver:
             live = {n for n in live if progressed.get(n)}
         for rx in self.rx.values():
             rx._drain_audio()
+        if self._pool is not None:
+            counters = self._pool.drain()
+            for rx in self.rx.values():
+                rx.merge_pool_counters(counters)
         return {name: rx.metrics for name, rx in self.rx.items()}
 
     def close(self) -> None:
         for rx in self.rx.values():
             rx.close()
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
 
 
 def init_distributed(coordinator: Optional[str] = None,

@@ -24,6 +24,11 @@ class ReceiverConfig:
     # the next block's device work (the reference's audio-thread
     # topology); Receiver.run()/close() drain before returning
     async_audio: bool = True
+    # > 0: decode audio in N worker PROCESSES instead of threads (the
+    # GIL escape for many-channel scan workloads; PCM stays in the
+    # workers — counters only).  0 = in-process threads (default; keeps
+    # PCM sinks, dynamic labels and slides available).
+    audio_workers: int = 0
     scan_attempts: int = 5           # no-signal attempts before giving up
     resync_after_bad_blocks: int = 2  # all-FIBs-bad blocks before notSynced
     dump_iq_path: Optional[str] = None     # raw-IQ tap (ofdm-processor dump)

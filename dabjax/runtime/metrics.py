@@ -37,6 +37,8 @@ class Metrics:
     #: the clock-drift proxy shown by the reference as "avg token length"
     #: (ofdm-processor.cpp:368-380, gui.cpp display slot)
     avg_frame_len: float = 0.0
+    #: host wall-seconds spent in audio decode (worker-process pool path)
+    audio_decode_seconds: float = 0.0
     # scope taps (numpy arrays; excluded from as_dict)
     spectrum: Optional[object] = None        # [T_u] mean |PRS spectrum|
     constellation: Optional[object] = None   # [K] complex DQPSK points

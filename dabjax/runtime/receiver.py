@@ -188,8 +188,10 @@ class Receiver:
     """Block-batched DAB receiver (the RadioInterface + ofdmProcessor +
     ficHandler + mscHandler control flow, re-architected)."""
 
+    _next_tag = iter(__import__("itertools").count())
+
     def __init__(self, source, config: Optional[ReceiverConfig] = None,
-                 data_handler_factory=None, mesh=None):
+                 data_handler_factory=None, mesh=None, audio_pool=None):
         """``mesh``: optional jax.sharding.Mesh — the product multi-chip
         path.  Frames are sharded across every device in the demod/FIC/PRS
         block and subchannels across every device in the MSC bucket decode
@@ -212,8 +214,14 @@ class Receiver:
         self.data_handlers: Dict[int, object] = {}
         self._audio_pools: Dict[int, object] = {}
         self._audio_futs: List[object] = []
+        # worker-process audio plane (cfg.audio_workers > 0): shared pool
+        # from a MultiReceiver bank, or owned (created lazily)
+        self._chan_tag = next(Receiver._next_tag)
+        self._proc_pool = audio_pool
+        self._own_pool = False
+        self._pool_meta: Dict[int, Tuple[int, bool]] = {}
         self._u8 = callable(getattr(source, "read_u8", None))
-        self._buf = self._empty_buf()
+        self._empty_buf()
         self._buf_base = 0          # absolute index of _buf[0]
         self._u0: Optional[float] = None  # absolute PRS-useful-start index
         # tracked rx samples per frame: T_F plus the sample-clock drift
@@ -234,8 +242,47 @@ class Receiver:
         self._block_fn = self._build_block_fn()
 
     def _empty_buf(self) -> np.ndarray:
-        return (np.zeros((0, 2), np.uint8) if self._u8
-                else np.zeros(0, np.complex64))
+        """(Re)initialize the preallocated sample buffer; ``self._buf``
+        is always the valid-region view ``_arr[_start:_start+_len]``."""
+        shape = ((1 << 20, 2) if self._u8 else (1 << 20,))
+        self._arr = np.zeros(shape, np.uint8 if self._u8 else np.complex64)
+        self._start = 0
+        self._len = 0
+        return self._arr[:0]
+
+    @property
+    def _buf(self) -> np.ndarray:
+        return self._arr[self._start: self._start + self._len]
+
+    @_buf.setter
+    def _buf(self, value: np.ndarray) -> None:
+        # only the reset paths assign; re-seed the preallocated store
+        if value.shape[0] == 0:
+            self._empty_buf()
+            return
+        raise ValueError("append via _buf_append")
+
+    def _buf_append(self, chunk: np.ndarray) -> None:
+        """Append without reallocating the whole stream (the old
+        np.concatenate grow cost ~0.25 s per 25 MB block under memory
+        contention — 4 s per 8-channel bank step in the r5 profile)."""
+        n = chunk.shape[0]
+        cap = self._arr.shape[0]
+        if self._start + self._len + n > cap:
+            if (self._len + n) * 2 > cap:
+                new_cap = max((self._len + n) * 2, cap)
+                new = np.empty((new_cap,) + self._arr.shape[1:],
+                               self._arr.dtype)
+                new[: self._len] = self._buf
+                self._arr = new
+            else:
+                # compact in place: dest window starts before src and the
+                # copy runs forward, so the overlapping move is safe
+                self._arr[: self._len] = self._buf
+            self._start = 0
+        end = self._start + self._len
+        self._arr[end: end + n] = chunk
+        self._len += n
 
     def reset(self, source=None) -> None:
         """Retune: clear all stream/ensemble state but keep the compiled
@@ -252,7 +299,7 @@ class Receiver:
         self._drain_audio()
         self._audio_pools = {}
         self.data_handlers = {}
-        self._buf = self._empty_buf()
+        self._empty_buf()
         self._buf_base = 0
         self._u0 = None
         self._frame_len = float(self.p.T_F)
@@ -279,23 +326,23 @@ class Receiver:
 
     def _ensure(self, abs_end: int) -> bool:
         """Grow the buffer to cover absolute sample index < abs_end."""
-        need = abs_end - (self._buf_base + self._buf.shape[0])
+        need = abs_end - (self._buf_base + self._len)
         if need > 0:
             chunk = (self.source.read_u8(int(need)) if self._u8
                      else self.source.read(int(need)))
+            if chunk.shape[0]:
+                self._buf_append(chunk)
             if chunk.shape[0] < need:
-                if chunk.shape[0]:
-                    self._buf = np.concatenate([self._buf, chunk])
                 return False
-            self._buf = np.concatenate([self._buf, chunk])
         return True
 
     def _drop_before(self, abs_idx: int):
-        # never drop past what was actually read: _buf_base + len(_buf) must
+        # never drop past what was actually read: _buf_base + _len must
         # stay equal to the number of samples consumed from the source
-        cut = min(abs_idx - self._buf_base, self._buf.shape[0])
+        cut = min(abs_idx - self._buf_base, self._len)
         if cut > 0:
-            self._buf = self._buf[cut:]
+            self._start += cut
+            self._len -= cut
             self._buf_base += cut
 
     def _cx(self, lo: int, hi: int) -> np.ndarray:
@@ -379,7 +426,8 @@ class Receiver:
 
         # ----- MSC buckets (skipped entirely in FIC-only use — e.g. the
         # band scan only needs the ensemble DB, msc-handler stays cold)
-        buckets: List[Tuple] = []
+        bucket_meta: List[Tuple] = []
+        merged = None
         warmup = 0
         if self.cfg.decode_audio or self.cfg.decode_data:
             geoms = self._geometries()
@@ -390,22 +438,35 @@ class Receiver:
                     self._decoder = EnsembleDecoder(geoms, p,
                                                     mesh=self.mesh)
                     self._decoder_key = key
-                block_cifs = jnp.concatenate([self._cif_hist, cifs],
-                                             axis=0)
                 warmup = max(0, HISTORY - self._hist_valid)
-                buckets = self._decoder.dispatch(block_cifs)
-            self._push_history(cifs)
-
-        parts = [blob] + [dev.ravel() for (_, dev) in buckets]
-        merged = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                if self.mesh is None:
+                    # product path: the whole MSC chain (history concat,
+                    # bucket slices, decode, pack, blob merge) is ONE
+                    # cached jit dispatch — eager ops cost ~20-40 ms
+                    # each on this runtime
+                    merged, self._cif_hist, bucket_meta = \
+                        self._decoder.fused(self._cif_hist, cifs, blob)
+                    self._hist_valid = min(
+                        HISTORY, self._hist_valid + cifs.shape[0])
+                else:
+                    block_cifs = jnp.concatenate([self._cif_hist, cifs],
+                                                 axis=0)
+                    buckets = self._decoder.dispatch(block_cifs)
+                    bucket_meta = [(geoms_b, tuple(dev.shape))
+                                   for (geoms_b, dev) in buckets]
+                    parts = [blob] + [dev.ravel() for (_, dev) in buckets]
+                    merged = jnp.concatenate(parts)
+                    self._push_history(cifs)
+            else:
+                self._push_history(cifs)
+        if merged is None:
+            merged = blob
         from dabjax.fic.fic_decoder import fic_codewords_per_frame, \
             fic_profile
         n_fib = fic_codewords_per_frame(p) * fic_profile(p)[2]
         n_taps = 5 * F + F * n_fib + p.T_u + 2 * p.K
         blk = _Blk(F=F, merged=merged, n_taps=n_taps, n_fib=n_fib,
-                   buckets=[(geoms_b, tuple(dev.shape))
-                            for (geoms_b, dev) in buckets],
-                   warmup=warmup)
+                   buckets=bucket_meta, warmup=warmup)
         # advance to the next block now (predictive); consume() applies the
         # measured intercept/slope corrections before the next stage()
         self._u0 += F * self._frame_len
@@ -580,8 +641,7 @@ class Receiver:
         return geoms
 
     def _push_history(self, cifs):
-        joined = jnp.concatenate([self._cif_hist, cifs], axis=0)
-        self._cif_hist = joined[-HISTORY:]
+        self._cif_hist = _hist_push(self._cif_hist, cifs)
         self._hist_valid = min(HISTORY, self._hist_valid + cifs.shape[0])
 
     # ------------------------------------------------------------- route
@@ -623,9 +683,47 @@ class Receiver:
             f.result()                   # surfaces worker exceptions too
         self._audio_futs.clear()
 
+    def _pool(self):
+        if self._proc_pool is None and self.cfg.audio_workers > 0:
+            from dabjax.runtime.audio_pool import AudioWorkerPool
+            self._proc_pool = AudioWorkerPool(self.cfg.audio_workers)
+            self._own_pool = True
+        return self._proc_pool
+
+    def merge_pool_counters(self, counters: Dict) -> None:
+        """Fold worker-process audio counters (cumulative per key) for
+        this receiver's channel into Metrics."""
+        from dabjax.runtime.audio_pool import COUNTER_FIELDS
+        mine = {k: v for k, v in counters.items()
+                if k[0] == self._chan_tag}
+        if not mine:
+            return
+        for f in COUNTER_FIELDS:
+            setattr(self.metrics, f, sum(v[f] for v in mine.values()))
+        self.metrics.audio_decode_seconds = sum(
+            v["decode_seconds"] for v in mine.values())
+
+    def drain_pool(self) -> None:
+        if self._proc_pool is not None and self._own_pool:
+            self.merge_pool_counters(self._proc_pool.drain())
+
     def _route_rows(self, subch_id: int, frames: np.ndarray, warmup: int):
         """Route a block's decoded logical frames (byte rows) for one
         subchannel to its audio/data handler."""
+        if (self.cfg.audio_workers > 0 or self._proc_pool is not None) \
+                and self.cfg.decode_audio:
+            meta = self._pool_meta.get(subch_id)
+            if meta is None:
+                d = self._audio_meta(subch_id)
+                if d is not None:
+                    meta = (d.bitrate, d.is_dab_plus)
+                    self._pool_meta[subch_id] = meta
+            if meta is not None:
+                if frames.shape[0] > warmup:
+                    self._pool().submit_rows(
+                        (self._chan_tag, subch_id), meta[0], meta[1],
+                        frames[warmup:])
+                return
         rows = [frames[t] for t in range(warmup, frames.shape[0])]
         if not rows:
             return
@@ -659,6 +757,7 @@ class Receiver:
             if not self.step():
                 break
         self._drain_audio()              # metrics/pcm settled on return
+        self.drain_pool()
         return self.metrics
 
     def close(self) -> None:
@@ -666,6 +765,9 @@ class Receiver:
         for pool in self._audio_pools.values():
             pool.shutdown(wait=True)
         self._audio_pools = {}
+        if self._proc_pool is not None and self._own_pool:
+            self._proc_pool.close()
+            self._proc_pool = None
         if self._iq_dump is not None:
             self._iq_dump.close()
             self._iq_dump = None
@@ -754,3 +856,9 @@ def _build_block_fn_for(p, mesh, kind: str = "f32"):
 @functools.lru_cache(maxsize=None)
 def _block_fn_cached(mode: int, kind: str):
     return _build_block_fn_for(get_mode(mode), None, kind)
+
+
+@jax.jit
+def _hist_push(hist, cifs):
+    """Jitted CIF-history roll (one dispatch, not an eager concat+slice)."""
+    return jnp.concatenate([hist, cifs], axis=0)[-HISTORY:]

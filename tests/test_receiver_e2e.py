@@ -260,3 +260,25 @@ def test_heaac_sbr_service_to_pcm():
     assert hf1 > 1e5 * floor, f"no 5 kHz SBR line: {hf1:.3g} vs {floor:.3g}"
     assert hf2 > 1e5 * floor, f"no 6.4 kHz SBR line: {hf2:.3g}"
     assert hf1 > 1e-3 * core and hf2 > 1e-3 * core
+
+
+def test_audio_worker_process_pool():
+    """cfg.audio_workers > 0 moves the audio plane into spawned worker
+    processes (the config-5 GIL escape); CRC-gated counters come back
+    through drain and land in Metrics."""
+    services = [
+        ServiceSpec(label="POOLSVC", sid=0x6101, subch_id=2, start_addr=0,
+                    bitrate=BITRATE_MP2, protection="EEP-A", prot_level=3,
+                    kind="DAB"),
+    ]
+    mod = Modulator(mode=1, services=services,
+                    payloads={2: _mp2_payloads(20)})
+    src = SyntheticSource(mod, snr_db=30.0, lead_in=777)
+    cfg = ReceiverConfig(frames_per_block=4, decode_audio=True,
+                         decode_data=False, audio_workers=2)
+    r = Receiver(src, cfg)
+    m = r.run(4)
+    r.close()
+    assert m.fic_crc_ok > 0
+    assert m.mp2_frames_ok > 0
+    assert m.audio_decode_seconds > 0.0
