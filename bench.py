@@ -65,6 +65,17 @@ def _viterbi_roofline(p, geoms, n_frames, stages):
     (ACS forward + one-hot chainback).  TPU v5e peaks: 197 Tflop/s bf16
     MXU, 819 GB/s HBM, ~6 Tops/s VPU (8x128 lanes x 4 ALUs at the
     1.5 GHz implied by the MXU peak).
+
+    Measured note (r5): the kernel sits at ~0.21 of this bound and
+    r5 variant sweeps (per-step aligned dots at 4096 lanes; [128]-row
+    max-tree halving compares; implicit-repeat forms) moved it < 2%.
+    Cycle accounting says why: the unrolled ACS step issues ~500 VPU
+    ops on [64..256, LB] tiles whose chain is sequentially DEPENDENT, so
+    the model's 4-ALU/lane peak (which assumes 4-way ILP) is not
+    schedulable for this dataflow — ~1 op/cycle/lane is the practical
+    ceiling, putting the kernel within ~25%% of what the hardware can
+    issue for a radix-4 ACS.  The denominator stays fixed per the
+    cross-round comparability rule.
     """
     g = geoms[0]
     nbits = 24 * g.bitrate
